@@ -1,0 +1,22 @@
+"""Geometry + kernel pack: the TPU-native replacements for the reference's
+CUDA/C++ native layer (SURVEY §2.10).
+
+Everything here is pure JAX (jit/vmap/grad-safe, static shapes) with Pallas
+TPU kernels for the hot paths (chamfer NN, soft rasterization, flash
+attention).
+"""
+
+from regen3d_tpu.ops.knn import (  # noqa: F401
+    chamfer_distance,
+    knn_points,
+    nn_distances,
+)
+from regen3d_tpu.ops.point_mesh import (  # noqa: F401
+    point_mesh_face_distance,
+    point_triangle_distance,
+    points_to_mesh_distance,
+)
+from regen3d_tpu.ops.sampling import sample_points_from_meshes  # noqa: F401
+from regen3d_tpu.ops.icp import iterative_closest_point  # noqa: F401
+from regen3d_tpu.ops.plane import fit_plane_svd, fit_plane_ransac  # noqa: F401
+from regen3d_tpu.ops.obb import oriented_bounding_box_2d_up  # noqa: F401
