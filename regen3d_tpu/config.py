@@ -322,15 +322,12 @@ def load_config(config_path: str, overrides: Optional[Dict[str, Any]] = None) ->
         raise TypeError(f"config root must be a mapping, got {type(values)}")
     if overrides:
         values.update(overrides)
-    # Reference layout: config lives in src/, paths are like ../output. The
-    # phase scripts run from subdirectories of src/ one level deeper, so
-    # "../output" resolves to "<repo>/output" — i.e. relative to the config's
-    # *parent* only when the config sits in src/. We anchor at the config dir
-    # joined with the script-dir convention: paths already start with "../",
-    # so base_dir = dirname(config) + "/<any-phase-dir>" == dirname(config)
-    # after the first "..". Net: use a virtual phase dir inside the config dir.
-    base_dir = os.path.join(os.path.dirname(os.path.abspath(config_path)), "_phase")
-    return Config(values=values, base_dir=base_dir)
+    # Reference layout: config lives in <repo>/src/, and each phase runs with
+    # cwd = a FIRST-LEVEL repo dir (e.g. <repo>/segmentor — run.py:235), so
+    # "../output" resolves to "<repo>/output". Anchor a virtual phase dir at
+    # the repo root (the config dir's parent).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(config_path)))
+    return Config(values=values, base_dir=os.path.join(repo_root, "_phase"))
 
 
 def default_config(output_root: str, **overrides: Any) -> Config:
