@@ -53,9 +53,17 @@ class TestConventions:
 
 class TestSO3:
     def test_exp_log_roundtrip(self, rng):
+        # log returns the canonical (angle ≤ π) representative, so compare
+        # via exp: exp(log(exp(v))) == exp(v) for any v.
         v = jnp.asarray(rng.normal(size=(32, 3)) * 1.5)
         R = so3_exp(v)
-        v2 = so3_log(R)
+        R2 = so3_exp(so3_log(R))
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-4)
+
+    def test_exp_log_roundtrip_small_angles(self, rng):
+        v = jnp.asarray(rng.normal(size=(32, 3)) * 0.5)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1.0)  # ‖v‖ ≤ 1 < π
+        v2 = so3_log(so3_exp(v))
         np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-4)
 
     def test_exp_orthonormal(self, rng):
