@@ -54,11 +54,17 @@ def so3_exp(log_rot: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix (..., 3, 3) → axis-angle (..., 3). Safe near identity."""
+    """Rotation matrix (..., 3, 3) → axis-angle (..., 3).
+
+    Returns the canonical representative (angle ≤ π). Numerically safe both
+    near the identity (Taylor-stable scale) and near π, where the
+    antisymmetric part vanishes and the axis is recovered from the diagonal
+    instead (branch-free select).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
-    # antisymmetric part carries sin(theta) * axis
+    # antisymmetric part carries 2·sin(theta)·axis
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -68,7 +74,18 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     scale = theta / jnp.maximum(2.0 * jnp.sin(theta), _EPS)
-    return w * scale[..., None]
+    v_std = w * scale[..., None]
+
+    # Near π: |axis_i| from the diagonal (R_ii = cosθ + axis_i²(1−cosθ)),
+    # signs from the (small but sign-reliable) antisymmetric part.
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    denom = jnp.maximum(1.0 - cos_theta, _EPS)[..., None]
+    axis_abs = jnp.sqrt(jnp.clip((diag - cos_theta[..., None]) / denom, 0.0, 1.0))
+    sign = jnp.where(w >= 0, 1.0, -1.0)
+    v_pi = theta[..., None] * axis_abs * sign
+
+    near_pi = (theta > 3.0)[..., None]
+    return jnp.where(near_pi, v_pi, v_std)
 
 
 def rotation_about_axis(angle: jnp.ndarray, axis: str) -> jnp.ndarray:
