@@ -1,0 +1,245 @@
+"""Fused flash attention for TPU (Pallas forward, chunked custom VJP).
+
+Serves every transformer in the model zoo: the SAM ViT-H image encoder, the
+VGGT aggregator's alternating frame/global attention, the Hunyuan-style
+shape DiT, and the diffusion UNets' attention blocks (SURVEY §7.1 item 2b).
+
+Design:
+  * forward: classic flash attention — online softmax over KV tiles, one
+    Pallas program per (batch·head, q-tile). Q/K/V tiles live in VMEM; the
+    (q_tile, kv_tile) score matrix never touches HBM. bf16 inputs, f32
+    accumulation on the MXU.
+  * backward: custom VJP re-computing probabilities from the saved
+    per-query logsumexp, streamed over KV chunks with lax.scan (the
+    flash-attention backward recurrence, expressed in XLA — a Pallas
+    backward kernel is a planned optimization).
+  * interpret-safe: on CPU (tests) the same kernel runs via
+    ``interpret=True``; `attention_reference` is the O(S²) oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def attention_reference(q, k, v, scale: Optional[float] = None):
+    """O(S²) oracle: (B, H, S, D) × 3 → (B, H, S, D)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
+                      block_k):
+    """One (batch·head, q-tile) program: online softmax over KV tiles."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (Bq, D)
+    bq = q.shape[0]
+    num_kv = pl.cdiv(kv_len, block_k)
+
+    def body(i, carry):
+        acc, m_i, l_i = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (Bq, Bk)
+        # mask out-of-range kv (padded tail)
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_i - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(p, v_blk,
+                                             preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
+    m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc, m, l = lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+
+
+def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bh = b * h
+    qf = q.reshape(bh, sq, d)
+    kf = k.reshape(bh, sk, d)
+    vf = v.reshape(bh, sk, d)
+
+    pad_q = (-sq) % block_q
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+    sq_p = qf.shape[1]
+    pad_k = (-sk) % block_k
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+    sk_p = kf.shape[1]
+
+    grid = (bh, sq_p // block_q)
+    kernel = functools.partial(_flash_fwd_kernel, scale=scale, kv_len=sk,
+                               block_k=block_k)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    o = o[:, :sq].reshape(b, h, sq, d)
+    lse = lse[:, :sq].reshape(b, h, sq)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused attention: q,k,v (B, H, S, D) → (B, H, Sq, D).
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU (tests).
+    """
+    o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    return o
+
+
+def _auto_interpret(interpret):
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() != "tpu"
+
+
+def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
+    d = q.shape[-1]
+    s = scale if scale is not None else 1.0 / (d ** 0.5)
+    block_q = min(block_q, max(q.shape[2], 8))
+    block_k = min(block_k, max(k.shape[2], 8))
+    return _flash_forward(q, k, v, s, block_q, block_k,
+                          _auto_interpret(interpret))
+
+
+def _flash_vjp_fwd(q, k, v, scale, block_q, block_k, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, o, lse = res
+    d = q.shape[-1]
+    s = scale if scale is not None else 1.0 / (d ** 0.5)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    # D_i = Σ_d o_id · do_id (flash backward scalar per query)
+    delta = jnp.sum(o.astype(jnp.float32) * gf, axis=-1)       # (B,H,Sq)
+
+    sk = k.shape[2]
+    blk = min(block_k, sk)
+    pad = (-sk) % blk
+    if pad:
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    nblk = kf.shape[2] // blk
+    kv_c = (kf.reshape(*kf.shape[:2], nblk, blk, d),
+            vf.reshape(*vf.shape[:2], nblk, blk, d))
+    valid = (jnp.arange(nblk * blk) < sk).reshape(nblk, blk)
+
+    def body(dq, inp):
+        k_b, v_b, val = inp            # (B,H,blk,D) ×2, (blk,)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k_b,
+                            preferred_element_type=jnp.float32) * s
+        logits = jnp.where(val[None, None, None, :], logits, _NEG_INF)
+        p = jnp.exp(logits - lse[..., None])                   # (B,H,Sq,blk)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_b,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None]) * s
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, k_b,
+                             preferred_element_type=jnp.float32)
+        dk_b = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                          preferred_element_type=jnp.float32)
+        dv_b = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                          preferred_element_type=jnp.float32)
+        return dq, (dk_b, dv_b)
+
+    dq0 = jnp.zeros_like(qf)
+    dq, (dk_c, dv_c) = lax.scan(
+        body, dq0,
+        (jnp.moveaxis(kv_c[0], 2, 0), jnp.moveaxis(kv_c[1], 2, 0),
+         valid))
+    dk = jnp.moveaxis(dk_c, 0, 2).reshape(*kf.shape)[:, :, :sk]
+    dv = jnp.moveaxis(dv_c, 0, 2).reshape(*vf.shape)[:, :, :sk]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def multihead_attention(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_k: jnp.ndarray,
+    w_v: jnp.ndarray,
+    w_o: jnp.ndarray,
+    num_heads: int,
+    b_q=None, b_k=None, b_v=None, b_o=None,
+) -> jnp.ndarray:
+    """Projection + flash attention + output projection.
+
+    x_q (B, Sq, E), x_kv (B, Sk, E); weights (E, E). Cross attention when
+    x_kv differs from x_q (the VGGT camera/depth heads and DiT image
+    conditioning are cross-attention consumers).
+    """
+    b, sq, e = x_q.shape
+    hd = e // num_heads
+
+    def proj(x, w, bias):
+        y = jnp.einsum("bse,ef->bsf", x, w, preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+    q = proj(x_q, w_q, b_q).reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
+    k = proj(x_kv, w_k, b_k).reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    v = proj(x_kv, w_v, b_v).reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)
+    o = flash_attention(q, k, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b, sq, e)
+    return proj(o, w_o, b_o)
