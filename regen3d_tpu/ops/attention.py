@@ -70,7 +70,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
     acc, m, l = lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe)).astype(jnp.float32)
+    # lse replicated across 8 sublanes to satisfy the (8, 128) tile minimum
+    lse = (m + jnp.log(l_safe)).astype(jnp.float32)
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, bq))
 
 
 def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
@@ -108,17 +110,17 @@ def _flash_forward(q, k, v, scale, block_q, block_k, interpret):
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda i, j: (i, j),
+            pl.BlockSpec((1, 8, block_q), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, sq_p), jnp.float32),
         ),
         interpret=interpret,
     )(qf, kf, vf)
     o = o[:, :sq].reshape(b, h, sq, d)
-    lse = lse[:, :sq].reshape(b, h, sq)
+    lse = lse[:, 0, :sq].reshape(b, h, sq)
     return o, lse
 
 
