@@ -1,0 +1,149 @@
+"""Benchmark: phase-6 pose-fitting throughput (objects/second).
+
+Workload: 8 objects fitted simultaneously by the vmapped jitted engine —
+256² soft-silhouette render, 1024 faces/object, 2048 target points/object,
+300 Adam iterations (the reference's iteration budget, config.yaml:274).
+
+Baseline: the reference runs one CUDA pose_matching process per object
+(≤300 Adam iters over a 1024² pytorch3d SoftSilhouette render, A40-class
+GPU, max 3 concurrent jobs/GPU — scene_reconstruction/run.py:88-96).
+Measured wall-clock for that setup is not published (BASELINE.md); we use a
+conservative 20 s/object effective estimate (A40, 3 jobs in flight).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_SEC_PER_OBJECT = 20.0  # documented estimate, see module docstring
+
+B = 8           # objects in the batch
+N_FACES = 1024
+N_POINTS = 2048
+IMG = 256
+ITERS = 300
+
+
+def _random_blobs(rng, b, n_faces):
+    """Random star-shaped meshes: perturbed icosphere-style triangle soups."""
+    n_verts = n_faces // 2 + 2
+    verts = []
+    faces = []
+    for i in range(b):
+        v = rng.normal(size=(n_verts, 3)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v *= (0.3 + 0.1 * rng.random((n_verts, 1))).astype(np.float32)
+        # faces from random nearby triples (a triangle soup is fine for the
+        # rasterizer/point-mesh workload; topology doesn't matter for perf)
+        f = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32)
+        verts.append(v)
+        faces.append(f)
+    return np.stack(verts), np.stack(faces)
+
+
+def main():
+    from regen3d_tpu.camera import Camera
+    from regen3d_tpu.pipeline.pose_fit import (
+        FitConfig, ObjectBatch, PoseParams, fit_poses)
+
+    rng = np.random.default_rng(1234567)
+    verts, faces = _random_blobs(rng, B, N_FACES)
+    gt_shift = rng.normal(size=(B, 3)).astype(np.float32) * 0.2 + [0, 0, 2.5]
+
+    cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                 focal=jnp.asarray([float(IMG), float(IMG)]),
+                 principal=jnp.asarray([IMG / 2.0, IMG / 2.0]),
+                 image_size=(IMG, IMG))
+
+    # synthetic supervision, built host-side in numpy: this is benchmark
+    # setup, not the measured path — keep device compile budget for the fit.
+    gt_verts_np = verts + gt_shift[:, None, :]
+    masks = np.zeros((B, IMG, IMG), np.float32)
+    pts = np.zeros((B, N_POINTS, 3), np.float32)
+    for i in range(B):
+        v = gt_verts_np[i]
+        u = IMG / 2.0 - IMG * v[:, 0] / v[:, 2]
+        w_ = IMG / 2.0 - IMG * v[:, 1] / v[:, 2]
+        tri = np.stack([u, w_], -1)[faces[i]]          # (F, 3, 2)
+        for t in tri:
+            lo = np.maximum(np.floor(t.min(0)).astype(int), 0)
+            hi = np.minimum(np.ceil(t.max(0)).astype(int) + 1, IMG)
+            if np.any(hi <= lo):
+                continue
+            xs = np.arange(lo[0], hi[0]) + 0.5
+            ys = np.arange(lo[1], hi[1]) + 0.5
+            px, py = np.meshgrid(xs, ys)
+            d = np.stack([px, py], -1) - t[0]
+            e1, e2 = t[1] - t[0], t[2] - t[0]
+            det = e1[0] * e2[1] - e1[1] * e2[0]
+            if abs(det) < 1e-9:
+                continue
+            a = (d[..., 0] * e2[1] - d[..., 1] * e2[0]) / det
+            b_ = (d[..., 1] * e1[0] - d[..., 0] * e1[1]) / det
+            inside = (a >= 0) & (b_ >= 0) & (a + b_ <= 1)
+            masks[i, lo[1]:hi[1], lo[0]:hi[0]][inside] = 1.0
+        # area-weighted surface samples
+        tri3 = v[faces[i]]
+        areas = 0.5 * np.linalg.norm(
+            np.cross(tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]), axis=-1)
+        probs = areas / areas.sum()
+        fidx = rng.choice(len(probs), N_POINTS, p=probs)
+        r1, r2 = rng.random(N_POINTS), rng.random(N_POINTS)
+        s = np.sqrt(r1)
+        bw = np.stack([1 - s, s * (1 - r2), s * r2], -1)[:, :, None]
+        pts[i] = (tri3[fidx] * bw).sum(1)
+    masks = jnp.asarray(masks)
+    pts = jnp.asarray(pts)
+
+    batch = ObjectBatch(
+        verts=jnp.asarray(verts),
+        verts_mask=jnp.ones(verts.shape[:2], bool),
+        faces=jnp.asarray(faces),
+        faces_mask=jnp.ones(faces.shape[:2], bool),
+        target_mask=masks,
+        target_points=pts,
+        points_mask=jnp.ones(pts.shape[:2], bool),
+        pivot_R=jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+        pivot_t=jnp.zeros((B, 3)),
+        on_floor=jnp.zeros(B, bool),
+        object_valid=jnp.ones(B, bool),
+        bbox_lo=jnp.asarray([-10.0, -10.0, 0.0]),
+        bbox_hi=jnp.asarray([10.0, 10.0, 20.0]),
+    )
+    cfg = FitConfig(image_hw=(IMG, IMG), sigma=1e-5, max_iterations=ITERS,
+                    early_stop_min_iters=ITERS,  # force full budget for perf
+                    learning_rate=0.005, face_chunk=256, point_chunk=512,
+                    record_history=False)
+    init = PoseParams.zeros(B)._replace(
+        translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1)))
+
+    # compile + warmup (np.asarray forces a synchronous fetch — on this
+    # image block_until_ready can return early through the device tunnel)
+    res = fit_poses(init, batch, cam, cfg)
+    np.asarray(res.params.translation)
+
+    t0 = time.time()
+    res = fit_poses(init, batch, cam, cfg)
+    np.asarray(res.params.translation)
+    dt = time.time() - t0
+
+    sec_per_object = dt / B
+    objects_per_sec = B / dt
+    print(json.dumps({
+        "metric": f"pose-fit objects/sec (B={B}, {ITERS} Adam iters, "
+                  f"{IMG}^2 soft-silhouette, {N_FACES} faces, {N_POINTS} pts)",
+        "value": round(objects_per_sec, 4),
+        "unit": "objects/sec",
+        "vs_baseline": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

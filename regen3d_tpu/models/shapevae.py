@@ -1,0 +1,124 @@
+"""Shape VAE: point-cloud ↔ latent-token-set autoencoder with an SDF decoder.
+
+The reference's Hunyuan3D-2 shape VAE ("vecset" family) encodes a surface
+point cloud into L latent tokens and decodes any 3D query point to a signed
+distance via cross-attention; the pipeline evaluates it over an octree grid
+in `num_chunks` batches and runs marching cubes
+(src/2d_to_3d_models/run.py:77-84, octree_resolution_hy=256,
+num_chunks_hy=16000).
+
+TPU design:
+  * encoder: fourier-embedded surface samples cross-attended into learned
+    latent queries (one pass, set-to-set);
+  * decoder: query points → fourier features → cross-attention over latent
+    tokens → SDF. Grid decode is a lax.map over static-size chunks — the
+    XLA analog of the reference's num_chunks batching, fully on-device;
+  * mesh extraction: marching cubes (ops/marching_cubes.py) on the decoded
+    grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from regen3d_tpu.models.layers import Attention, Mlp, TransformerBlock, fourier_features
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeVAEConfig:
+    latent_tokens: int = 512
+    latent_dim: int = 64
+    width: int = 512
+    enc_depth: int = 4
+    dec_depth: int = 8
+    num_heads: int = 8
+    num_freqs: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def tiny(cls) -> "ShapeVAEConfig":
+        return cls(latent_tokens=16, latent_dim=8, width=64, enc_depth=1,
+                   dec_depth=2, num_heads=4, num_freqs=4)
+
+
+class ShapeEncoder(nn.Module):
+    """Surface samples (B, N, 3) → latent tokens (B, L, D)."""
+
+    cfg: ShapeVAEConfig
+
+    @nn.compact
+    def __call__(self, points):
+        c = self.cfg
+        feats = fourier_features(points, c.num_freqs)
+        h = nn.Dense(c.width, dtype=c.dtype, name="point_in")(feats)
+        queries = self.param("latent_queries", nn.initializers.normal(0.02),
+                             (c.latent_tokens, c.width), jnp.float32)
+        q = jnp.broadcast_to(queries[None].astype(c.dtype),
+                             (points.shape[0], c.latent_tokens, c.width))
+        q = q + Attention(c.num_heads, dtype=c.dtype, name="gather")(
+            nn.LayerNorm(dtype=c.dtype, name="gather_norm")(q), h)
+        for i in range(c.enc_depth):
+            q = TransformerBlock(c.num_heads, dtype=c.dtype, name=f"block{i}")(q)
+        q = nn.LayerNorm(dtype=c.dtype, name="out_norm")(q)
+        return nn.Dense(c.latent_dim, dtype=jnp.float32, name="out")(q)
+
+
+class ShapeDecoder(nn.Module):
+    """(latents (B, L, D), queries (B, Q, 3)) → SDF (B, Q)."""
+
+    cfg: ShapeVAEConfig
+
+    @nn.compact
+    def __call__(self, latents, points):
+        c = self.cfg
+        h = nn.Dense(c.width, dtype=c.dtype, name="lat_in")(latents)
+        for i in range(c.dec_depth):
+            h = TransformerBlock(c.num_heads, dtype=c.dtype, name=f"block{i}")(h)
+        pq = nn.Dense(c.width, dtype=c.dtype, name="query_in")(
+            fourier_features(points, c.num_freqs))
+        o = Attention(c.num_heads, dtype=c.dtype, name="query_cross")(
+            nn.LayerNorm(dtype=c.dtype, name="q_norm")(pq), h)
+        o = o + Mlp(c.width * 2, dtype=c.dtype, name="mlp")(
+            nn.LayerNorm(dtype=c.dtype, name="o_norm")(o))
+        sdf = nn.Dense(1, dtype=jnp.float32, name="sdf_out")(
+            nn.LayerNorm(dtype=c.dtype, name="out_norm")(o))
+        return sdf[..., 0]
+
+
+def make_grid(resolution: int, bounds: float = 1.01) -> jnp.ndarray:
+    """(R³, 3) regular query grid in [-bounds, bounds]³ (x fastest)."""
+    lin = jnp.linspace(-bounds, bounds, resolution)
+    zz, yy, xx = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+
+
+def decode_grid(
+    decoder: ShapeDecoder,
+    params,
+    latents: jnp.ndarray,
+    resolution: int = 256,
+    chunk: int = 16384,
+    bounds: float = 1.01,
+) -> jnp.ndarray:
+    """Evaluate the SDF over a dense grid in fixed-size chunks
+    (the reference's num_chunks batching, as a jitted lax.map).
+
+    latents: (1, L, D) → (R, R, R) SDF volume (z, y, x order).
+    """
+    grid = make_grid(resolution, bounds)
+    n = grid.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        grid = jnp.concatenate([grid, jnp.zeros((pad, 3), grid.dtype)])
+    chunks = grid.reshape(-1, chunk, 3)
+
+    def eval_chunk(pts):
+        return decoder.apply(params, latents, pts[None])[0]
+
+    sdf = jax.lax.map(eval_chunk, chunks).reshape(-1)[:n]
+    return sdf.reshape(resolution, resolution, resolution)

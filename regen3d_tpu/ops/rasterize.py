@@ -140,10 +140,12 @@ def soft_silhouette(
         ok = mk & jnp.all(zs > znear, axis=-1)
         tri2 = tri[..., :2] * ndc                     # (C, 3, 2) in NDC
         signed, _, _ = _face_coverage(pix, tri2)      # (P, C)
-        prob = jax.nn.sigmoid(-signed / sigma)
-        prob = jnp.where(ok[None, :], prob, 0.0)
-        # Σ log(1−p), clamped for interior pixels where p → 1
-        acc = acc + jnp.sum(jnp.log1p(-jnp.minimum(prob, 1.0 - 1e-7)), axis=1)
+        # log(1 − sigmoid(z)) = −softplus(z) with z = −signed/σ: one fused
+        # transcendental per (pixel, face), no clamping needed.
+        z = -signed / sigma
+        contrib = -jax.nn.softplus(z)
+        contrib = jnp.where(ok[None, :], contrib, 0.0)
+        acc = acc + jnp.sum(contrib, axis=1)
         return acc, None
 
     acc0 = jnp.zeros(h * w, verts_screen.dtype)
