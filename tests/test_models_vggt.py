@@ -1,0 +1,83 @@
+"""VGGT family tests (tiny config): shapes, finiteness, unprojection math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regen3d_tpu.models.vggt import (
+    VGGT,
+    VGGTConfig,
+    pose_encoding_to_camera,
+    unproject_depth,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vggt():
+    cfg = VGGTConfig.tiny()
+    model = VGGT(cfg)
+    imgs = jnp.zeros((1, 2, cfg.image_size, cfg.image_size, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    return cfg, model, params
+
+
+class TestVGGT:
+    def test_forward_shapes(self, tiny_vggt, rng):
+        cfg, model, params = tiny_vggt
+        imgs = jnp.asarray(rng.uniform(size=(1, 2, cfg.image_size, cfg.image_size, 3)),
+                           dtype=jnp.float32)
+        out = model.apply(params, imgs)
+        assert out["pose_enc"].shape == (1, 2, 9)
+        assert out["depth"].shape == (1, 2, cfg.image_size, cfg.image_size)
+        assert out["depth_conf"].shape == out["depth"].shape
+        assert np.all(np.isfinite(np.asarray(out["pose_enc"])))
+        assert np.all(np.asarray(out["depth"]) >= 0)
+        assert np.all(np.asarray(out["depth_conf"]) >= 1.0)
+
+    def test_pose_decoding(self):
+        # identity pose, 90° vertical fov at 100×200
+        enc = jnp.asarray([[[0.0, 0, 0, 1, 0, 0, 0, np.pi / 2, np.pi / 2]]])
+        cam = pose_encoding_to_camera(enc, (100, 200))
+        np.testing.assert_allclose(np.asarray(cam["R"][0, 0]), np.eye(3), atol=1e-6)
+        assert float(cam["fy"][0, 0]) == pytest.approx(50.0, rel=1e-5)
+        assert float(cam["fx"][0, 0]) == pytest.approx(100.0, rel=1e-5)
+
+    def test_unproject_roundtrip(self):
+        """Unprojected points re-project to their pixels."""
+        h = w = 16
+        depth = jnp.full((h, w), 2.0)
+        cam = {
+            "R": jnp.eye(3)[None], "t": jnp.zeros((1, 3)),
+            "fx": jnp.asarray([20.0]), "fy": jnp.asarray([20.0]),
+            "cx": jnp.asarray([w / 2.0]), "cy": jnp.asarray([h / 2.0]),
+        }
+        pts = unproject_depth(depth, cam, 0)
+        assert pts.shape == (h, w, 3)
+        # reproject: u = fx·x/z + cx
+        u = 20.0 * pts[..., 0] / pts[..., 2] + w / 2.0
+        v = 20.0 * pts[..., 1] / pts[..., 2] + h / 2.0
+        uu = np.arange(w) + 0.5
+        np.testing.assert_allclose(np.asarray(u)[0], uu, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v)[:, 0], np.arange(h) + 0.5, atol=1e-4)
+
+    def test_unproject_with_pose(self, rng):
+        from regen3d_tpu.transforms.rotations import random_rotation
+        h = w = 8
+        depth = jnp.asarray(rng.uniform(1, 3, size=(h, w)).astype(np.float32))
+        R = random_rotation(jax.random.PRNGKey(5))
+        t = jnp.asarray([0.2, -0.1, 0.4])
+        cam = {"R": R[None], "t": t[None],
+               "fx": jnp.asarray([10.0]), "fy": jnp.asarray([10.0]),
+               "cx": jnp.asarray([4.0]), "cy": jnp.asarray([4.0])}
+        pts_w = unproject_depth(depth, cam, 0)
+        # transform back to camera frame: x_cam = x_w @ R.T + t ... (column conv: R @ x_w + t)
+        cam_pts = pts_w @ np.asarray(R).T + np.asarray(t)
+        np.testing.assert_allclose(np.asarray(cam_pts[..., 2]), np.asarray(depth),
+                                   atol=1e-4)
+
+    def test_jit_full_model(self, tiny_vggt):
+        cfg, model, params = tiny_vggt
+        imgs = jnp.ones((1, 1, cfg.image_size, cfg.image_size, 3))
+        out = jax.jit(model.apply)(params, imgs)
+        assert np.all(np.isfinite(np.asarray(out["depth"])))
