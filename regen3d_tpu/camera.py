@@ -137,6 +137,9 @@ def save_camera_npz(
 ) -> None:
     """Write the camera.npz artifact with the reference's exact keys/dtypes
     (minimal_demo_vggt.py:189-204)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(npz_path)), exist_ok=True)
     width, height = image_wh
     camera_angle_x = float(2.0 * np.arctan(width / (2.0 * float(focal_px))))
     np.savez(

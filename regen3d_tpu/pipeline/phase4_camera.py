@@ -1,0 +1,204 @@
+"""Phase 4: camera + point-cloud estimation → artifact export.
+
+Reference flow (minimal_demo_vggt.py): VGGT forward on [input image,
+empty_room.png] → depth/conf/pose → unproject → confidence-filtered cloud →
+COLMAP sparse dir + points.ply/points_emptyRoom.ply + image_list.txt, then
+export_vggt_data (:76-262) converts frame-0's camera through
+R_fix → camera.npz and writes scene_vggt.ply (B2P + Y-flip +
+vggt_scene_scale).
+
+Here the model is a jitted JAX VGGT; the whole unprojection/filter path is
+one jit; export reproduces the artifact contract bit-for-bit (same npz keys,
+same COLMAP text layout, same PLY conventions) so reference-produced and
+ours are interchangeable.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regen3d_tpu.artifacts import Artifacts
+from regen3d_tpu.camera import save_camera_npz
+from regen3d_tpu.config import Config
+from regen3d_tpu.transforms.conventions import (
+    blender_to_p3d,
+    opencv_extrinsic_to_blender_world,
+)
+from regen3d_tpu.utils.colmapio import (
+    ColmapCamera,
+    ColmapImage,
+    ColmapReconstruction,
+    focal_and_angle,
+)
+from regen3d_tpu.utils.image import load_image_rgb
+from regen3d_tpu.utils.ply import save_ply
+
+log = logging.getLogger(__name__)
+
+
+def matrix_to_qvec(R: np.ndarray) -> np.ndarray:
+    from regen3d_tpu.transforms.rotations import matrix_to_quat
+    return np.asarray(matrix_to_quat(jnp.asarray(R, jnp.float64)))
+
+
+def export_reconstruction(
+    cfg: Config,
+    frames: Dict[str, Dict[str, np.ndarray]],
+) -> None:
+    """Write the phase-4 artifact set from per-frame geometry.
+
+    frames: ordered {image_name: {"points": (N,3) world pts [OpenCV/VGGT
+    frame], "colors": optional (N,3) uint8, "R": (3,3) world→cam,
+    "t": (3,), "fx","fy","cx","cy": floats, "width","height": ints}}.
+    First frame = main image, optional second = empty room.
+    """
+    art = Artifacts(cfg)
+    os.makedirs(art.colmap_sparse, exist_ok=True)
+    names = list(frames)
+
+    # --- COLMAP sparse + per-frame clouds ------------------------------------
+    rec = ColmapReconstruction()
+    all_pts = []
+    all_cols = []
+    for i, name in enumerate(names):
+        fr = frames[name]
+        rec.cameras[i + 1] = ColmapCamera(
+            camera_id=i + 1, model="PINHOLE",
+            width=int(fr["width"]), height=int(fr["height"]),
+            params=np.asarray([fr["fx"], fr["fy"], fr["cx"], fr["cy"]]))
+        rec.images[i + 1] = ColmapImage(
+            image_id=i + 1, qvec=matrix_to_qvec(fr["R"]),
+            tvec=np.asarray(fr["t"], np.float64), camera_id=i + 1, name=name)
+        pts = np.asarray(fr["points"], np.float32).reshape(-1, 3)
+        cols = fr.get("colors")
+        all_pts.append(pts)
+        all_cols.append(cols if cols is not None
+                        else np.full((len(pts), 3), 128, np.uint8))
+        ply_name = "points.ply" if i == 0 else "points_emptyRoom.ply"
+        save_ply(os.path.join(art.colmap_sparse, ply_name), pts,
+                 colors=all_cols[-1])
+    rec.points = np.concatenate(all_pts) if all_pts else np.zeros((0, 3))
+    rec.colors = np.concatenate(all_cols) if all_cols else np.zeros((0, 3), np.uint8)
+    rec.write(art.colmap_sparse)
+    with open(art.image_list_txt, "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    # --- camera.npz + scene_vggt.ply (export_vggt_data contract) -------------
+    scale = float(cfg.get("vggt_scene_scale", 2.0))
+    for i, name in enumerate(names):
+        fr = frames[name]
+        E = np.eye(4)
+        E[:3, :3] = fr["R"]
+        E[:3, 3] = fr["t"]
+        ext_blender = opencv_extrinsic_to_blender_world(E)
+        focal, _ = focal_and_angle(int(fr["width"]), fr["fx"], fr["fy"])
+        if i == 0:
+            save_camera_npz(art.camera_npz, ext_blender, focal,
+                            (int(fr["width"]), int(fr["height"])))
+        elif i == 1:
+            save_camera_npz(art.camera_empty_npz, ext_blender, focal,
+                            (int(fr["width"]), int(fr["height"])))
+
+    # scene cloud: frame-0 points moved into the render ("P3D") world —
+    # B2P of the npz extrinsic applied, Y flipped, globally scaled
+    # (export_vggt_data, minimal_demo_vggt.py:160-205).
+    fr0 = frames[names[0]]
+    E = np.eye(4)
+    E[:3, :3] = fr0["R"]
+    E[:3, 3] = fr0["t"]
+    ext_blender = opencv_extrinsic_to_blender_world(E)
+    R_p, T_p = blender_to_p3d(ext_blender)
+    pts = np.asarray(fr0["points"], np.float64).reshape(-1, 3)
+    pts = pts @ R_p.T + T_p
+    pts[:, 1] *= -1
+    pts *= scale
+    save_ply(art.scene_cloud_ply, pts.astype(np.float32))
+    log.info("phase4: exported %d frames, %d scene points", len(names), len(pts))
+
+
+def run_vggt_inference(
+    cfg: Config,
+    params,
+    model,
+    image_paths: Tuple[str, ...],
+    resolution: int = 518,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Jitted VGGT forward + unprojection + confidence filtering.
+
+    Mirrors process_single_image_vggt (minimal_demo_vggt.py:368-584):
+    images resized to the model's square resolution, depth+conf+pose
+    decoded, cloud filtered by conf_thres_value and capped at
+    max_points_for_colmap.
+    """
+    from regen3d_tpu.models.vggt import pose_encoding_to_camera, unproject_depth
+
+    conf_thr = float(cfg.get("conf_thres_value", 1.0))
+    max_pts = int(cfg.get("max_points_for_colmap", 10_000_000))
+
+    imgs = []
+    sizes = []
+    for p in image_paths:
+        arr = load_image_rgb(p, max_side=None)
+        sizes.append(arr.shape[:2])
+        im = np.asarray(
+            jax.image.resize(jnp.asarray(arr, jnp.float32) / 255.0,
+                             (resolution, resolution, 3), "bilinear"))
+        imgs.append(im)
+    batch = jnp.asarray(np.stack(imgs))[None]  # (1, F, H, W, 3)
+
+    @jax.jit
+    def forward(params, batch):
+        out = model.apply(params, batch)
+        cam = pose_encoding_to_camera(out["pose_enc"][0],
+                                      (resolution, resolution))
+        return out, cam
+
+    out, cam = forward(params, batch)
+    frames: Dict[str, Dict[str, np.ndarray]] = {}
+    for i, p in enumerate(image_paths):
+        depth = out["depth"][0, i]
+        conf = np.asarray(out["depth_conf"][0, i])
+        pts = np.asarray(unproject_depth(depth, jax.tree.map(
+            lambda x: x[i:i + 1] if x.ndim >= 1 else x, cam), 0)).reshape(-1, 3)
+        keep = (conf.reshape(-1) >= conf_thr)
+        pts = pts[keep]
+        if len(pts) > max_pts:
+            sel = np.random.default_rng(int(cfg.get("seed", 1234567))).choice(
+                len(pts), max_pts, replace=False)
+            pts = pts[sel]
+        orig_h, orig_w = sizes[i]
+        # rescale intrinsics from model resolution to the original image
+        # (rename_colmap_recons_and_rescale_camera, minimal_demo_vggt.py:325-363)
+        sx = orig_w / resolution
+        sy = orig_h / resolution
+        frames[os.path.basename(p)] = {
+            "points": pts,
+            "R": np.asarray(cam["R"][i], np.float64),
+            "t": np.asarray(cam["t"][i], np.float64),
+            "fx": float(cam["fx"][i]) * sx, "fy": float(cam["fy"][i]) * sy,
+            "cx": orig_w / 2.0, "cy": orig_h / 2.0,
+            "width": orig_w, "height": orig_h,
+        }
+    return frames
+
+
+def run(cfg: Config, params=None, model=None) -> None:
+    """Phase-4 entry: VGGT on [input image, empty_room if present] → export."""
+    art = Artifacts(cfg)
+    inputs = [cfg.path("input_image")]
+    if os.path.exists(art.empty_room):
+        inputs.append(art.empty_room)
+    if model is None or params is None:
+        raise RuntimeError(
+            "phase 4 requires a VGGT model + params (no pretrained weights "
+            "ship in this environment — pass a checkpoint via "
+            "models.weights.load_checkpoint, or call export_reconstruction "
+            "with precomputed geometry)")
+    frames = run_vggt_inference(cfg, params, model, tuple(inputs))
+    export_reconstruction(cfg, frames)

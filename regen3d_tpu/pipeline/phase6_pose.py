@@ -1,0 +1,310 @@
+"""Phase 6 host pipeline: artifacts in → batched pose fit → fitted GLBs out.
+
+Reference flow (pose_matching_planar.py:859-1716 + scene_reconstruction/
+run.py): per object — load asset GLB, clean mesh, calibrate camera, decide
+on-floor (mask-IoU with the floor finding), load the phase-5 target cloud,
+coarse init (Y-up OBB volume scale + centroid + optional yaw grid search),
+for floor objects fit the floor plane and snap the object's bottom onto it,
+then a 300-iteration Adam silhouette+3D fit, saved to output/glb/<stem>.glb
+with a progress GIF.
+
+TPU redesign: all host prep (mesh IO/cleanup/decimation, padding) happens
+up front; every object then goes through ONE jitted vmapped fit
+(pipeline/pose_fit.py) instead of one OS process each.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regen3d_tpu.artifacts import Artifacts, parse_finding_stem
+from regen3d_tpu.camera import Camera, camera_from_npz
+from regen3d_tpu.config import Config
+from regen3d_tpu.ops.obb import aabb, oriented_bounding_box_2d_up
+from regen3d_tpu.ops.plane import fit_plane_ransac, fit_plane_svd, plane_transforms
+from regen3d_tpu.pipeline.pose_fit import (
+    FitConfig,
+    ObjectBatch,
+    PoseParams,
+    find_best_initial_yaw,
+    fit_poses,
+    pose_transform,
+)
+from regen3d_tpu.utils.glb import MeshData, SceneData, load_glb, save_glb
+from regen3d_tpu.utils.image import load_mask, mask_from_finding
+from regen3d_tpu.utils.meshproc import clean_mesh, decimate_vertex_clustering
+from regen3d_tpu.utils.ply import load_ply
+
+log = logging.getLogger(__name__)
+
+_FIT_FACES = 2048      # decimated silhouette mesh budget per object (default)
+_FIT_POINTS = 4096     # target-cloud budget per object (default)
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0.0) -> Tuple[np.ndarray, np.ndarray]:
+    m = len(arr)
+    mask = np.zeros(n, bool)
+    mask[:min(m, n)] = True
+    if m >= n:
+        if arr.ndim == 1:
+            return arr[:n], mask
+        sel = np.random.default_rng(0).choice(m, n, replace=False) \
+            if arr.ndim == 2 and arr.shape[1] == 3 else np.arange(n)
+        return arr[sel], np.ones(n, bool)
+    pad_shape = (n - m,) + arr.shape[1:]
+    return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)]), mask
+
+
+def _floor_overlap(obj_mask: np.ndarray, floor_mask: Optional[np.ndarray],
+                   label: str, floor_names: List[str]) -> bool:
+    """On-floor test: bbox overlap with the floor mask or a listed name
+    (reference: pose_matching_planar.py:980-1046)."""
+    if any(fn in label for fn in floor_names):
+        return True
+    if floor_mask is None:
+        return False
+    from regen3d_tpu.utils.image import dilate_mask, mask_bbox
+    x0, y0, x1, y1 = mask_bbox(dilate_mask(obj_mask, 3))
+    fx0, fy0, fx1, fy1 = mask_bbox(floor_mask)
+    ix = max(0, min(x1, fx1) - max(x0, fx0))
+    iy = max(0, min(y1, fy1) - max(y0, fy0))
+    return ix > 0 and iy > 0
+
+
+def fit_floor_plane(cfg: Config, floor_points: np.ndarray):
+    """SVD vs RANSAC floor-plane fit, chosen by inlier quality
+    (reference: extract_and_fit_floor_plane, pose_matching_planar.py:477-770)."""
+    pts = jnp.asarray(floor_points, jnp.float32)
+    up = jnp.asarray([0.0, 1.0, 0.0])
+    svd_plane = fit_plane_svd(pts, up_hint=up)
+    ransac_plane, inliers = fit_plane_ransac(
+        pts, jax.random.PRNGKey(int(cfg.get("seed", 1234567))),
+        num_iters=2000, threshold=0.05, up_hint=up)
+    # pick the fit explaining more points within 5 cm
+    d_svd = jnp.mean((jnp.abs(svd_plane.signed_distance(pts)) < 0.05))
+    d_ran = jnp.mean((jnp.abs(ransac_plane.signed_distance(pts)) < 0.05))
+    plane = ransac_plane if float(d_ran) >= float(d_svd) else svd_plane
+    return plane
+
+
+def run(cfg: Config) -> Dict[str, float]:
+    """Fit every object with a phase-5 cloud + phase-3 asset. Returns
+    {stem: final loss}."""
+    art = Artifacts(cfg)
+    stems = [s for s in art.list_findings() if parse_finding_stem(s)]
+    ignore = set(cfg.get("ignore_classes", []))
+    img_size = int(cfg.get("image_size_DR", 1024))
+    fit_faces = int(cfg.get("fit_max_faces", _FIT_FACES))
+    fit_points = int(cfg.get("fit_max_points", _FIT_POINTS))
+
+    # --- gather per-object data ------------------------------------------------
+    jobs = []
+    floor_mask = None
+    floor_cloud = None
+    for s in art.list_findings():
+        parsed = parse_finding_stem(s)
+        label = parsed[0] if parsed else s
+        if "floor" in label:
+            p = os.path.join(art.masks_dir, f"{s}.png")
+            if os.path.exists(p):
+                floor_mask = load_mask(p)
+            pc = os.path.join(art.pointclouds_dir, f"{s}.ply")
+            if os.path.exists(pc):
+                floor_cloud = load_ply(pc).vertices
+
+    for stem in stems:
+        label = parse_finding_stem(stem)[0]
+        if any(ig in label for ig in ignore):
+            continue
+        glb_path = art.asset_glb(stem)
+        pc_path = os.path.join(art.pointclouds_dir, f"{stem}.ply")
+        mask_path = os.path.join(art.masks_dir, f"{stem}.png")
+        if not (os.path.exists(glb_path) and os.path.exists(pc_path)
+                and os.path.exists(mask_path)):
+            log.warning("phase6: missing artifacts for %s — skipped", stem)
+            continue
+        jobs.append((stem, label, glb_path, pc_path, mask_path))
+    if not jobs:
+        log.warning("phase6: nothing to fit")
+        return {}
+
+    cam_full = camera_from_npz(art.camera_npz)
+    orig_h, orig_w = cam_full.image_size
+    render_h = img_size
+    render_w = int(round(orig_w * img_size / orig_h))
+    cam = cam_full.rescaled(render_h, render_w)
+
+    # floor plane (shared by all on-floor objects)
+    plane = None
+    if floor_cloud is not None and len(floor_cloud) > 32:
+        plane = fit_floor_plane(cfg, floor_cloud)
+        w2p, p2w = plane_transforms(plane)
+    floor_names = [n for n in cfg.get("list_aluminium_scene", [])]  # placeholder
+
+    # background AABB from the empty-room cloud (bbox hinge loss)
+    bbox_lo = np.asarray([-1e3, -1e3, -1e3], np.float32)
+    bbox_hi = np.asarray([1e3, 1e3, 1e3], np.float32)
+    if os.path.exists(art.points_empty_ply):
+        from regen3d_tpu.pipeline.phase5_extract import scene_cloud_to_world
+        bg = load_ply(art.points_empty_ply).vertices.astype(np.float64)
+        bg = scene_cloud_to_world(bg) * float(cfg.get("vggt_scene_scale", 2.0))
+        pad = float(cfg.get("background_bbox_extents", -0.02))
+        lo, hi = aabb(jnp.asarray(bg, jnp.float32), pad=pad)
+        bbox_lo, bbox_hi = np.asarray(lo), np.asarray(hi)
+
+    # --- build the padded batch --------------------------------------------------
+    b = len(jobs)
+    vmax = fit_faces // 2 + 2
+    batch_np = {
+        "verts": np.zeros((b, vmax, 3), np.float32),
+        "verts_mask": np.zeros((b, vmax), bool),
+        "faces": np.zeros((b, fit_faces, 3), np.int32),
+        "faces_mask": np.zeros((b, fit_faces), bool),
+        "target_mask": np.zeros((b, render_h, render_w), np.float32),
+        "target_points": np.zeros((b, fit_points, 3), np.float32),
+        "points_mask": np.zeros((b, fit_points), bool),
+        "pivot_R": np.tile(np.eye(3, dtype=np.float32)[None], (b, 1, 1)),
+        "pivot_t": np.zeros((b, 3), np.float32),
+        "on_floor": np.zeros(b, bool),
+    }
+    init_t = np.zeros((b, 3), np.float32)
+    init_yaw = np.zeros(b, np.float32)
+    init_logs = np.zeros(b, np.float32)
+    full_meshes = []   # original-resolution scenes for final export
+    prep_info = []     # (mesh_c, scale0, y_off) per job — replayed at export
+
+    from PIL import Image
+    for i, (stem, label, glb_path, pc_path, mask_path) in enumerate(jobs):
+        scene = load_glb(glb_path)
+        allv = np.concatenate([m.vertices for m in scene.meshes])
+        allf = np.concatenate([
+            m.faces + off for m, off in
+            zip(scene.meshes,
+                np.cumsum([0] + [m.vertices.shape[0] for m in scene.meshes[:-1]]))
+        ])
+        allv, allf = clean_mesh(allv, allf)
+        full_meshes.append((scene, allv.copy()))
+
+        target = load_ply(pc_path).vertices.astype(np.float32)
+        obj_mask = load_mask(mask_path)
+        m_img = np.asarray(Image.fromarray(obj_mask).resize(
+            (render_w, render_h), Image.NEAREST))
+
+        on_floor = _floor_overlap(obj_mask, floor_mask, label,
+                                  ["floor"] + floor_names) and plane is not None
+
+        # ---- coarse init (OBB volume scale + centroid + yaw grid) -----------
+        tgt = jnp.asarray(target)
+        obb_t = oriented_bounding_box_2d_up(tgt)
+        mesh_c = allv.mean(0)
+        v_centered = allv - mesh_c
+        obb_m = oriented_bounding_box_2d_up(jnp.asarray(v_centered))
+        vol_ratio = (float(obb_t.volume) / max(float(obb_m.volume), 1e-12))
+        scale0 = float(np.cbrt(max(vol_ratio, 1e-12)))
+        scale0 *= 1.0  # pre_scale handled through log_scale init
+        v_scaled = v_centered * scale0
+
+        dv, df = decimate_vertex_clustering(v_scaled, allf, fit_faces)
+        y_off = 0.0
+        if on_floor:
+            # pivot: plane frame; the object's bottom is baked to y=0 so the
+            # (frozen) vertical translation keeps it on the plane
+            tgt_plane = np.asarray(w2p.apply(tgt))
+            c = tgt_plane.mean(0)
+            y_off = float(-dv[:, 1].min())
+            batch_np["pivot_R"][i] = np.asarray(p2w.R)
+            batch_np["pivot_t"][i] = np.asarray(p2w.t)
+            v_fit = dv + np.asarray([0.0, y_off, 0.0], np.float32)
+            init_t[i] = [c[0], 0.0, c[2]]
+            batch_np["on_floor"][i] = True
+        else:
+            v_fit = dv
+            init_t[i] = target.mean(0)
+        prep_info.append((mesh_c, scale0, y_off))
+
+        if bool(cfg.get("use_rotation_grid_search", True)):
+            steps = int(cfg.get("grid_rotation_steps", 8))
+            tgt_local = (np.asarray(w2p.apply(tgt)) - [init_t[i][0], 0, init_t[i][2]]
+                         if on_floor else target - init_t[i])
+            yaw = find_best_initial_yaw(
+                jnp.asarray(v_fit), jnp.asarray(tgt_local.astype(np.float32)),
+                num_steps=steps, chunk=1024)
+            init_yaw[i] = float(yaw) / float(cfg.get("rotation_speed_mult", 8.0))
+
+        vv, vm = _pad_to(v_fit.astype(np.float32), vmax)
+        ff, fm = _pad_to(df.astype(np.int32), fit_faces)
+        tp, pm = _pad_to(target, fit_points)
+        batch_np["verts"][i] = vv
+        batch_np["verts_mask"][i] = vm
+        batch_np["faces"][i] = np.clip(ff, 0, max(int(vm.sum()) - 1, 0))
+        batch_np["faces_mask"][i] = fm
+        batch_np["target_mask"][i] = m_img.astype(np.float32)
+        batch_np["target_points"][i] = tp
+        batch_np["points_mask"][i] = pm
+
+    batch = ObjectBatch(
+        **{k: jnp.asarray(v) for k, v in batch_np.items()},
+        object_valid=jnp.ones(b, bool),
+        bbox_lo=jnp.asarray(bbox_lo), bbox_hi=jnp.asarray(bbox_hi))
+
+    fit_cfg = FitConfig(
+        image_hw=(render_h, render_w),
+        sigma=float(cfg.get("sigma", 5e-7)),
+        w_sil=float(cfg.get("silhoutte_loss", 0.1)),
+        w_3d=float(cfg.get("loss_3d", 0.1)),
+        w_bbox=float(cfg.get("loss_bbox", 0.01)),
+        use_5dof=bool(cfg.get("use_5DOF", True)),
+        rotation_speed_mult=float(cfg.get("rotation_speed_mult", 8.0)),
+        learning_rate=float(cfg.get("learning_rate", 0.005)),
+        max_iterations=int(cfg.get("max_iterations", 300)),
+        early_stop_grad=float(cfg.get("early_stop_grad_threshold", 5e-3)),
+        early_stop_min_iters=int(cfg.get("early_stop_min_iterations", 200)),
+    )
+    init = PoseParams(
+        translation=jnp.asarray(init_t),
+        yaw=jnp.asarray(init_yaw),
+        rot_aa=jnp.zeros((b, 3)),
+        log_scale=jnp.asarray(init_logs),
+    )
+    log.info("phase6: fitting %d objects in one program (%dx%d, %d iters)",
+             b, render_h, render_w, fit_cfg.max_iterations)
+    result = fit_poses(init, batch, cam, fit_cfg)
+    losses = np.asarray(result.losses)
+
+    # --- apply final poses to the full-resolution meshes and export ---------
+    os.makedirs(art.glb_dir, exist_ok=True)
+    out: Dict[str, float] = {}
+    final_v = np.asarray(pose_transform(result.params, batch, fit_cfg))
+    params = jax.tree.map(np.asarray, result.params)
+    for i, (stem, label, glb_path, *_rest) in enumerate(jobs):
+        scene, _allv = full_meshes[i]
+        mesh_c, scale0, y_off = prep_info[i]
+        # replay the exact fit-space prep + fitted pose on the ORIGINAL
+        # (full-resolution, textured) submeshes
+        s0 = np.exp(params.log_scale[i])
+        yaw = params.yaw[i] * fit_cfg.rotation_speed_mult
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        # same matrix as transforms.rotations.yaw_rotation, applied as x @ R
+        R = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        t = params.translation[i].copy()
+        if batch_np["on_floor"][i]:
+            t[1] = 0.0
+        meshes_out = []
+        for m in scene.meshes:
+            mv = (m.vertices - mesh_c) * scale0
+            mv = mv + np.asarray([0.0, y_off, 0.0], np.float32)
+            mv = (mv * s0) @ R + t
+            mv = mv @ batch_np["pivot_R"][i] + batch_np["pivot_t"][i]
+            meshes_out.append(MeshData(**{**m.__dict__, "vertices":
+                                          mv.astype(np.float32)}))
+        save_glb(art.fitted_glb(stem), SceneData(meshes=meshes_out))
+        out[stem] = float(losses[i])
+        log.info("phase6: %s loss=%.4f converged=%s", stem, losses[i],
+                 bool(np.asarray(result.converged)[i]))
+    return out
