@@ -1,0 +1,146 @@
+"""Poisson surface reconstruction on a dense grid, fully in JAX (FFT).
+
+Replaces Open3D's octree screened-Poisson meshing used for the background
+mesh (reference: mesh_pointclouds.py:461-552, depth=10 + density trim).
+
+TPU-native formulation (Kazhdan's Poisson recon on a regular grid):
+  1. splat oriented normals into a grid vector field V (trilinear scatter);
+  2. solve ∇²χ = ∇·V for the indicator χ in the Fourier domain — one
+     forward/inverse FFT triple, exactly the kind of dense batched compute
+     XLA maps well to TPU;
+  3. pick the iso-level as the mean of χ at the sample positions;
+  4. extract the surface with marching tetrahedra (ops/marching_cubes.py).
+
+A `density` channel (splatted point mass) supports the reference's
+density-quantile trim: grid cells below the quantile are pushed outside the
+iso-surface before extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _trilinear_scatter(grid: jnp.ndarray, idx: jnp.ndarray, frac: jnp.ndarray,
+                       values: jnp.ndarray) -> jnp.ndarray:
+    """Scatter-add values into a (R,R,R,C) grid with trilinear weights."""
+    r = grid.shape[0]
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (jnp.abs(1 - dx - frac[:, 0])
+                     * jnp.abs(1 - dy - frac[:, 1])
+                     * jnp.abs(1 - dz - frac[:, 2]))
+                xi = jnp.clip(idx[:, 0] + dx, 0, r - 1)
+                yi = jnp.clip(idx[:, 1] + dy, 0, r - 1)
+                zi = jnp.clip(idx[:, 2] + dz, 0, r - 1)
+                grid = grid.at[zi, yi, xi].add(w[:, None] * values)
+    return grid
+
+
+def poisson_indicator(
+    points: jnp.ndarray,
+    normals: jnp.ndarray,
+    resolution: int = 128,
+    pad: float = 0.1,
+    screen: float = 1e-2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[np.ndarray, float]]:
+    """Solve for the indicator field χ on a regular grid.
+
+    Returns (chi (R,R,R) z-major, density (R,R,R), (origin, cell_size)).
+    ``screen`` is a small Tikhonov term keeping the Fourier solve bounded
+    at DC (the screened-Poisson analog).
+    """
+    r = resolution
+    lo = jnp.min(points, axis=0)
+    hi = jnp.max(points, axis=0)
+    span = jnp.max(hi - lo) * (1 + 2 * pad)
+    origin = (lo + hi) / 2.0 - span / 2.0
+    cell = span / (r - 1)
+
+    coords = (points - origin) / cell
+    idx = jnp.floor(coords).astype(jnp.int32)
+    frac = coords - idx
+
+    field = jnp.zeros((r, r, r, 4), points.dtype)  # (V (3), density)
+    vals = jnp.concatenate([normals, jnp.ones_like(normals[:, :1])], axis=-1)
+    field = _trilinear_scatter(field, idx, frac, vals)
+    V = field[..., :3]
+    density = field[..., 3]
+
+    # divergence by central differences, grid units (z, y, x order: axis 0=z)
+    div = (
+        (jnp.roll(V[..., 0], -1, axis=2) - jnp.roll(V[..., 0], 1, axis=2))
+        + (jnp.roll(V[..., 1], -1, axis=1) - jnp.roll(V[..., 1], 1, axis=1))
+        + (jnp.roll(V[..., 2], -1, axis=0) - jnp.roll(V[..., 2], 1, axis=0))
+    ) * 0.5
+
+    # spectral Laplacian inverse: chi_hat = div_hat / (lap_eig - screen)
+    k = jnp.fft.fftfreq(r) * 2 * jnp.pi
+    kz = k[:, None, None]
+    ky = k[None, :, None]
+    kx = k[None, None, :]
+    lap = 2.0 * ((jnp.cos(kx) - 1) + (jnp.cos(ky) - 1) + (jnp.cos(kz) - 1))
+    div_hat = jnp.fft.fftn(div)
+    chi_hat = div_hat / (lap - screen)
+    chi = jnp.real(jnp.fft.ifftn(chi_hat))
+
+    return chi, density, (origin, cell)
+
+
+def poisson_reconstruct(
+    points: np.ndarray,
+    normals: np.ndarray,
+    resolution: int = 128,
+    density_quantile: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Point cloud + normals → triangle mesh (verts, faces).
+
+    density_quantile trims low-support surface area like the reference's
+    Open3D density filter (mesh_pointclouds.py:527-537).
+    """
+    from regen3d_tpu.ops.marching_cubes import marching_tetrahedra
+
+    pts = jnp.asarray(points, jnp.float32)
+    nrm = jnp.asarray(normals, jnp.float32)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+
+    chi, density, (origin, cell) = jax.jit(
+        poisson_indicator, static_argnames=("resolution",)
+    )(pts, nrm, resolution=resolution)
+    origin = np.asarray(origin)
+    cell = float(cell)
+
+    # iso level: mean chi at the input samples (their grid cells)
+    r = resolution
+    coords = np.clip(((points - origin) / cell).round().astype(int), 0, r - 1)
+    chi_np = np.asarray(chi)
+    iso = float(chi_np[coords[:, 2], coords[:, 1], coords[:, 0]].mean())
+
+    vol = chi_np
+    if density_quantile > 0:
+        # Trim unsupported surface (the closure 'bubble' Poisson adds around
+        # open scans): any cell without nearby samples is pushed to the
+        # OUTSIDE value so marching cubes only keeps supported area.
+        dens = np.asarray(density)
+        # dilate support by one cell so the surface band survives
+        sup = dens > 0
+        for ax in (0, 1, 2):
+            sup = sup | np.roll(sup, 1, ax) | np.roll(sup, -1, ax)
+        occ_vals = dens[dens > 0]
+        thr = np.quantile(occ_vals, density_quantile) if len(occ_vals) else 0.0
+        supported = sup & (np.maximum.reduce(
+            [np.roll(dens, s, a) for a in (0, 1, 2) for s in (-1, 0, 1)]) >= thr)
+        inside_is_high = (chi_np > iso).mean() < 0.5
+        margin = 3.0 * (np.abs(chi_np - iso).mean() + 1e-9)
+        outside_val = iso - margin if inside_is_high else iso + margin
+        vol = np.where(supported, vol, outside_val)
+    # inside = chi > iso for outward normals ⇒ extract at -chi with -iso to
+    # keep the marching convention (inside = value < iso)
+    verts, faces = marching_tetrahedra(-vol, -iso)
+    verts = verts * cell + origin
+    return verts.astype(np.float32), faces
