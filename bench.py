@@ -69,8 +69,8 @@ def main():
     pts = np.zeros((B, N_POINTS, 3), np.float32)
     for i in range(B):
         v = gt_verts_np[i]
-        u = IMG / 2.0 - IMG * v[:, 0] / v[:, 2]
-        w_ = IMG / 2.0 - IMG * v[:, 1] / v[:, 2]
+        u = IMG / 2.0 + IMG * v[:, 0] / v[:, 2]
+        w_ = IMG / 2.0 + IMG * v[:, 1] / v[:, 2]
         tri = np.stack([u, w_], -1)[faces[i]]          # (F, 3, 2)
         for t in tri:
             lo = np.maximum(np.floor(t.min(0)).astype(int), 0)

@@ -53,22 +53,24 @@ class Camera(NamedTuple):
     def project(self, points_world: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """World points (..., 3) → (screen_uv (..., 2), depth (...,)).
 
-        Equivalent to pytorch3d's ``transform_points_screen`` for
-        ``in_ndc=False`` cameras (cam_utils.py:77-87 usage at
-        pc_utils.py:40-54): view +X left / +Y up flips into screen
-        +u right / +v down.
+        Plain pinhole: u = cx + fx·x/z, v = cy + fy·y/z. This matches
+        pytorch3d's ``transform_points_screen`` for ``in_ndc=False`` cameras
+        combined with B2P-derived (R, T): the axis flips live in the
+        rotation, so view coordinates are OpenCV-style (+X right, +Y down,
+        +Z forward) and the projection carries no sign flips. Verified by
+        the camera↔cloud convention roundtrip tests.
         """
         v = self.world_to_view(points_world)
         z = v[..., 2]
         z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-        u = self.principal[0] - self.focal[0] * v[..., 0] / z_safe
-        vv = self.principal[1] - self.focal[1] * v[..., 1] / z_safe
+        u = self.principal[0] + self.focal[0] * v[..., 0] / z_safe
+        vv = self.principal[1] + self.focal[1] * v[..., 1] / z_safe
         return jnp.stack([u, vv], axis=-1), z
 
     def unproject(self, uv: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
         """Screen pixels (..., 2) + view-space depth (...,) → world (..., 3)."""
-        x = (self.principal[0] - uv[..., 0]) * depth / self.focal[0]
-        y = (self.principal[1] - uv[..., 1]) * depth / self.focal[1]
+        x = (uv[..., 0] - self.principal[0]) * depth / self.focal[0]
+        y = (uv[..., 1] - self.principal[1]) * depth / self.focal[1]
         v = jnp.stack([x, y, depth], axis=-1)
         return self.view_to_world(v)
 
@@ -76,8 +78,8 @@ class Camera(NamedTuple):
         """View-space (..., 3) → (u, v, z) screen coords with depth kept."""
         z = points_view[..., 2]
         z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-        u = self.principal[0] - self.focal[0] * points_view[..., 0] / z_safe
-        v = self.principal[1] - self.focal[1] * points_view[..., 1] / z_safe
+        u = self.principal[0] + self.focal[0] * points_view[..., 0] / z_safe
+        v = self.principal[1] + self.focal[1] * points_view[..., 1] / z_safe
         return jnp.stack([u, v, z], axis=-1)
 
     def rescaled(self, height: int, width: int) -> "Camera":
@@ -92,6 +94,41 @@ class Camera(NamedTuple):
             principal=jnp.asarray([width / 2.0, height / 2.0], dtype=jnp.float32),
             image_size=(height, width),
         )
+
+
+def lookat_camera(
+    eye,
+    target,
+    image_hw: Tuple[int, int],
+    focal_px: float,
+    up=(0.0, 1.0, 0.0),
+    znear: float = 0.1,
+    zfar: float = 100.0,
+) -> Camera:
+    """Camera at ``eye`` looking at ``target`` (view frame: +X left, +Y up,
+    +Z forward). Used for the bird-eye second render camera
+    (reference: create_scene_birdEye_cam, blender_rendering/run.py:397-432)."""
+    eye = jnp.asarray(eye, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    f = target - eye
+    f = f / jnp.maximum(jnp.linalg.norm(f), 1e-12)
+    # right-handed OpenCV view frame (x, y, z=f with x×y=z):
+    # x = f×up (image right), y = f×x (image down)
+    x_cam = jnp.cross(f, up)
+    x_norm = jnp.linalg.norm(x_cam)
+    # degenerate (looking straight along up): pick another helper axis
+    x_cam = jnp.where(x_norm > 1e-6, x_cam / jnp.maximum(x_norm, 1e-12),
+                      jnp.asarray([1.0, 0.0, 0.0]))
+    y_cam = jnp.cross(f, x_cam)
+    R = jnp.stack([x_cam, y_cam, f], axis=-1)  # columns = view axes in world
+    T = -eye @ R
+    h, w = image_hw
+    return Camera(
+        R=R, T=T,
+        focal=jnp.asarray([focal_px, focal_px], jnp.float32),
+        principal=jnp.asarray([w / 2.0, h / 2.0], jnp.float32),
+        image_size=(h, w), znear=znear, zfar=zfar)
 
 
 def camera_from_npz(

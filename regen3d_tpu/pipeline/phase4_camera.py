@@ -61,8 +61,9 @@ def export_reconstruction(
     art = Artifacts(cfg)
     os.makedirs(art.colmap_sparse, exist_ok=True)
     names = list(frames)
+    scale = float(cfg.get("vggt_scene_scale", 2.0))
 
-    # --- COLMAP sparse + per-frame clouds ------------------------------------
+    # --- COLMAP sparse (raw OpenCV/VGGT world — the COLMAP contract) ----------
     rec = ColmapReconstruction()
     all_pts = []
     all_cols = []
@@ -80,46 +81,60 @@ def export_reconstruction(
         all_pts.append(pts)
         all_cols.append(cols if cols is not None
                         else np.full((len(pts), 3), 128, np.uint8))
-        ply_name = "points.ply" if i == 0 else "points_emptyRoom.ply"
-        save_ply(os.path.join(art.colmap_sparse, ply_name), pts,
-                 colors=all_cols[-1])
     rec.points = np.concatenate(all_pts) if all_pts else np.zeros((0, 3))
     rec.colors = np.concatenate(all_cols) if all_cols else np.zeros((0, 3), np.uint8)
     rec.write(art.colmap_sparse)
     with open(art.image_list_txt, "w") as f:
         f.write("\n".join(names) + "\n")
 
-    # --- camera.npz + scene_vggt.ply (export_vggt_data contract) -------------
-    scale = float(cfg.get("vggt_scene_scale", 2.0))
+    # --- camera.npz: Blender-hybrid extrinsic of each frame -------------------
+    # The global vggt_scene_scale is a similarity applied to (points,
+    # camera translation) TOGETHER, keeping projection exact (the reference
+    # scales only the cloud — minimal_demo_vggt.py:186 with an open TODO).
+    ext0 = None
     for i, name in enumerate(names):
         fr = frames[name]
         E = np.eye(4)
         E[:3, :3] = fr["R"]
-        E[:3, 3] = fr["t"]
+        E[:3, 3] = np.asarray(fr["t"], np.float64) * scale
         ext_blender = opencv_extrinsic_to_blender_world(E)
         focal, _ = focal_and_angle(int(fr["width"]), fr["fx"], fr["fy"])
         if i == 0:
+            ext0 = ext_blender
             save_camera_npz(art.camera_npz, ext_blender, focal,
                             (int(fr["width"]), int(fr["height"])))
         elif i == 1:
             save_camera_npz(art.camera_empty_npz, ext_blender, focal,
                             (int(fr["width"]), int(fr["height"])))
 
-    # scene cloud: frame-0 points moved into the render ("P3D") world —
-    # B2P of the npz extrinsic applied, Y flipped, globally scaled
-    # (export_vggt_data, minimal_demo_vggt.py:160-205).
+    # --- render-world clouds ----------------------------------------------------
+    # Render ("P3D") world W is defined so the frame-0 camera loaded from
+    # camera.npz (R_cam, T_cam = B2P(ext)) projects by the plain pinhole:
+    #   x_cv = w @ R_cam + T_cam.  Since row-form x_cv = (p·s) @ R_cv.T + t·s,
+    #   w = (x_cv − T_cam) @ R_cam.T.
+    R_cam, T_cam = blender_to_p3d(ext0)
     fr0 = frames[names[0]]
-    E = np.eye(4)
-    E[:3, :3] = fr0["R"]
-    E[:3, 3] = fr0["t"]
-    ext_blender = opencv_extrinsic_to_blender_world(E)
-    R_p, T_p = blender_to_p3d(ext_blender)
-    pts = np.asarray(fr0["points"], np.float64).reshape(-1, 3)
-    pts = pts @ R_p.T + T_p
-    pts[:, 1] *= -1
-    pts *= scale
-    save_ply(art.scene_cloud_ply, pts.astype(np.float32))
-    log.info("phase4: exported %d frames, %d scene points", len(names), len(pts))
+
+    def to_render_world(pts_cv: np.ndarray) -> np.ndarray:
+        x_cv = (pts_cv * scale) @ np.asarray(fr0["R"]).T \
+            + np.asarray(fr0["t"]) * scale
+        return (x_cv - T_cam) @ R_cam.T
+
+    for i, name in enumerate(names):
+        w = to_render_world(np.asarray(frames[name]["points"], np.float64))
+        ply_name = "points.ply" if i == 0 else "points_emptyRoom.ply"
+        save_ply(os.path.join(art.colmap_sparse, ply_name),
+                 w.astype(np.float32), colors=all_cols[i])
+
+    # scene_vggt.ply stores the cloud in the frame phase 5 re-bases from
+    # (get_model_vggt_cloud applies B2P(I) + Y-flip — pc_utils.py:25-37), so
+    # the stored points are the EXACT pre-image of the render world under
+    # that reload transform.
+    R0, _ = blender_to_p3d(np.eye(4))
+    w0 = to_render_world(np.asarray(fr0["points"], np.float64))
+    q = (w0 * np.asarray([1.0, -1.0, 1.0])) @ R0
+    save_ply(art.scene_cloud_ply, q.astype(np.float32))
+    log.info("phase4: exported %d frames, %d scene points", len(names), len(w0))
 
 
 def run_vggt_inference(

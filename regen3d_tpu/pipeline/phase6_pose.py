@@ -151,11 +151,10 @@ def run(cfg: Config) -> Dict[str, float]:
     bbox_lo = np.asarray([-1e3, -1e3, -1e3], np.float32)
     bbox_hi = np.asarray([1e3, 1e3, 1e3], np.float32)
     if os.path.exists(art.points_empty_ply):
-        from regen3d_tpu.pipeline.phase5_extract import scene_cloud_to_world
-        bg = load_ply(art.points_empty_ply).vertices.astype(np.float64)
-        bg = scene_cloud_to_world(bg) * float(cfg.get("vggt_scene_scale", 2.0))
+        # points_emptyRoom.ply is stored in the render world (phase-4 export)
+        bg = load_ply(art.points_empty_ply).vertices.astype(np.float32)
         pad = float(cfg.get("background_bbox_extents", -0.02))
-        lo, hi = aabb(jnp.asarray(bg, jnp.float32), pad=pad)
+        lo, hi = aabb(jnp.asarray(bg), pad=pad)
         bbox_lo, bbox_hi = np.asarray(lo), np.asarray(hi)
 
     # --- build the padded batch --------------------------------------------------

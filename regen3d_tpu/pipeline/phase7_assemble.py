@@ -1,0 +1,186 @@
+"""Phase 7: scene assembly, background meshing, pred↔GT alignment.
+
+Reference flow (scene_optim.py:124-379 + mesh_pointclouds.py):
+  * merge all fitted GLBs → combined_scene.glb with the global
+    metallic/roughness and per-name "aluminium" material overrides
+    (create_glb_scene, global_utils.py:506-601);
+  * concatenate per-object target clouds → combined_scene_bp.ply;
+  * sample 100k surface points from pred + GT scenes;
+  * background: empty-room cloud → [s,−s,−s] frame fix → ground alignment →
+    Poisson meshing (depth 10) + density trim → pointclouds/meshed/
+    ground_aligned.glb;
+  * normalize pred/GT clouds (centroid + max-norm, optional PCA pre-align)
+    and run ICP (200 iters) → pred_points.ply / gt_points.ply for phase 9.
+
+TPU redesign: sampling, normalization, ICP and Poisson solve are jitted JAX;
+only GLB/PLY IO is host-side.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regen3d_tpu.artifacts import Artifacts
+from regen3d_tpu.config import Config
+from regen3d_tpu.ops.filters import estimate_normals, pca_align
+from regen3d_tpu.ops.icp import iterative_closest_point
+from regen3d_tpu.ops.poisson import poisson_reconstruct
+from regen3d_tpu.ops.sampling import sample_points_from_meshes
+from regen3d_tpu.utils.glb import MeshData, SceneData, load_glb, save_glb
+from regen3d_tpu.utils.ply import load_ply, save_ply
+
+log = logging.getLogger(__name__)
+
+
+def combine_scene_glb(cfg: Config) -> Optional[str]:
+    """Merge output/glb/*.glb into combined_scene.glb with material policy
+    (reference: create_glb_scene, global_utils.py:506-601)."""
+    art = Artifacts(cfg)
+    files = sorted(globlib.glob(os.path.join(art.glb_dir, "*.glb")))
+    if not files:
+        log.warning("phase7: no fitted GLBs to combine")
+        return None
+    rough = float(cfg.get("roughness", 0.5))
+    metal = float(cfg.get("metallic", 0.2))
+    alu_names = set(cfg.get("list_aluminium_scene", []) or [])
+    alu_metal = float(cfg.get("metallic_aluminium", 0.95))
+    alu_rough = float(cfg.get("roughness_aluminium", 0.025))
+    alu_albedo = np.asarray(cfg.get("albedo_aluminium", [0.65, 0.65, 0.65, 1.0]))
+
+    out = SceneData()
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        scene = load_glb(f)
+        for m in scene.meshes:
+            md = MeshData(**{**m.__dict__})
+            md.name = stem if len(scene.meshes) == 1 else f"{stem}/{m.name}"
+            if stem in alu_names:
+                md.metallic, md.roughness = alu_metal, alu_rough
+                md.base_color = alu_albedo
+            else:
+                md.metallic, md.roughness = metal, rough
+            out.meshes.append(md)
+    save_glb(art.combined_scene_glb, out)
+    log.info("phase7: combined %d GLBs → %s", len(files), art.combined_scene_glb)
+    return art.combined_scene_glb
+
+
+def backproject_scene_ply(cfg: Config) -> Optional[str]:
+    """Concatenate per-object phase-5 clouds → combined_scene_bp.ply
+    (reference: create_pred_ply_scene, global_utils.py:605-664)."""
+    art = Artifacts(cfg)
+    plys = sorted(globlib.glob(os.path.join(art.pointclouds_dir, "*.ply")))
+    pts = []
+    for p in plys:
+        pts.append(load_ply(p).vertices)
+    if not pts:
+        return None
+    allp = np.concatenate(pts)
+    save_ply(art.combined_scene_bp_ply, allp)
+    return art.combined_scene_bp_ply
+
+
+def glb_to_point_cloud(path: str, num_samples: int, seed: int = 0) -> np.ndarray:
+    """Surface-sample a GLB scene (reference: load_glb_to_point_cloud,
+    global_utils.py:696-753 — pytorch3d sample_points_from_meshes)."""
+    scene = load_glb(path)
+    verts = np.concatenate([m.vertices for m in scene.meshes])
+    offs = np.cumsum([0] + [m.vertices.shape[0] for m in scene.meshes[:-1]])
+    faces = np.concatenate([m.faces + o for m, o in zip(scene.meshes, offs)])
+    (pts,) = jax.jit(sample_points_from_meshes, static_argnames=("num_samples",))(
+        jnp.asarray(verts), jnp.asarray(faces.astype(np.int32)),
+        num_samples=num_samples, key=jax.random.PRNGKey(seed))
+    return np.asarray(pts)
+
+
+def mesh_background(cfg: Config) -> Optional[str]:
+    """Empty-room cloud → Poisson mesh → ground_aligned.glb
+    (reference: mesh_background, mesh_pointclouds.py:555-619; frame fix
+    [s,−s,−s] at set_vggt_cloud :27-81)."""
+    art = Artifacts(cfg)
+    if not os.path.exists(art.points_empty_ply):
+        log.warning("phase7: no empty-room cloud — skipping background mesh")
+        return None
+    # points_emptyRoom.ply is already in the render world (phase-4 export
+    # bakes the scale + frame fix the reference applied via set_vggt_cloud's
+    # [s,−s,−s] matrix, mesh_pointclouds.py:27-81)
+    pts = load_ply(art.points_empty_ply).vertices.astype(np.float64)
+    # subsample for tractable normals/poisson
+    max_pts = 60000
+    if len(pts) > max_pts:
+        sel = np.random.default_rng(int(cfg.get("seed", 1234567))).choice(
+            len(pts), max_pts, replace=False)
+        pts = pts[sel]
+    pts = pts.astype(np.float32)
+    normals = np.asarray(estimate_normals(
+        jnp.asarray(pts), k=min(24, len(pts) - 1),
+        viewpoint=jnp.asarray([0.0, 0.0, 0.0])))
+    verts, faces = poisson_reconstruct(
+        pts, normals,
+        resolution=int(cfg.get("background_poisson_resolution", 128)),
+        density_quantile=0.05)
+    if len(faces) == 0:
+        log.warning("phase7: background meshing produced no faces")
+        return None
+    save_glb(art.ground_aligned_glb, SceneData(meshes=[
+        MeshData(name="background", vertices=verts, faces=faces,
+                 base_color=np.asarray([0.8, 0.8, 0.8, 1.0]),
+                 metallic=0.0, roughness=0.9)]))
+    log.info("phase7: background mesh %d verts / %d faces", len(verts), len(faces))
+    return art.ground_aligned_glb
+
+
+def normalize_cloud(pts: jnp.ndarray) -> jnp.ndarray:
+    """Centroid + max-norm normalization (scene_optim.py:270-303)."""
+    c = jnp.mean(pts, axis=0)
+    x = pts - c
+    scale = jnp.max(jnp.linalg.norm(x, axis=1))
+    return x / jnp.maximum(scale, 1e-12)
+
+
+def align_and_export(cfg: Config) -> Dict[str, float]:
+    """Sample pred/GT scenes, normalize, optional PCA pre-align, ICP, write
+    pred_points.ply / gt_points.ply (scene_optim.py:213-379)."""
+    art = Artifacts(cfg)
+    n = int(cfg.get("num_samples", 60000))
+    gt_path = cfg.path("GT_scene")
+    if gt_path is None or not os.path.exists(gt_path):
+        log.warning("phase7: no GT scene — skipping alignment")
+        return {}
+    if not os.path.exists(art.combined_scene_glb):
+        log.warning("phase7: no combined scene — skipping alignment")
+        return {}
+    pred = glb_to_point_cloud(art.combined_scene_glb, n, seed=1)
+    gt = glb_to_point_cloud(gt_path, n, seed=2)
+
+    pred_n = normalize_cloud(jnp.asarray(pred))
+    gt_n = normalize_cloud(jnp.asarray(gt))
+    if bool(cfg.get("use_pca_align", False)):
+        R, t = pca_align(pred_n, gt_n)
+        pred_n = pred_n @ R + t
+    stats = {}
+    if bool(cfg.get("use_icp", True)):
+        res = iterative_closest_point(
+            pred_n, gt_n,
+            max_iterations=int(cfg.get("icp_max_iterations", 200)),
+            estimate_scale=bool(cfg.get("icp_estimate_scale", False)))
+        pred_n = res.aligned
+        stats = {"icp_rmse": float(res.rmse), "icp_iters": int(res.num_iters)}
+        log.info("phase7: ICP rmse=%.5f after %d iters", res.rmse, res.num_iters)
+    save_ply(art.pred_points_ply, np.asarray(pred_n))
+    save_ply(art.gt_points_ply, np.asarray(gt_n))
+    return stats
+
+
+def run(cfg: Config) -> Dict[str, float]:
+    combine_scene_glb(cfg)
+    backproject_scene_ply(cfg)
+    mesh_background(cfg)
+    return align_and_export(cfg)

@@ -1,0 +1,173 @@
+"""Full pipeline contract test: phases 1→9 on a synthetic room image.
+
+Runs with zero model weights: phase 1 uses the clustering fallback, phase 2
+the offline inpainter, phase 3 a tiny random-init generator, phase 4 is
+oracle-injected (export_reconstruction with synthetic geometry). What this
+verifies is the DATA BUS: every phase consumes exactly what the previous
+phase wrote, at the reference's paths and formats.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regen3d_tpu.artifacts import Artifacts
+from regen3d_tpu.config import default_config
+from regen3d_tpu.utils.image import save_image
+
+
+@pytest.fixture(scope="module")
+def room(tmp_path_factory):
+    """A synthetic room photo: floor + two colored 'objects'."""
+    root = tmp_path_factory.mktemp("pipeline")
+    out = str(root / "output")
+    img = np.zeros((192, 256, 3), np.uint8)
+    img[:] = (200, 195, 185)            # walls
+    img[120:, :] = (140, 110, 80)       # floor
+    img[70:130, 40:95] = (180, 40, 40)  # red box
+    img[85:125, 160:225] = (40, 70, 170)  # blue box
+    input_path = str(root / "room.png")
+    save_image(input_path, img)
+    cfg = default_config(
+        out,
+        input_image=input_path,
+        octree_resolution_hy=24,
+        num_inf_steps_hy=3,
+        image_size_DR=96,
+        max_iterations=20,
+        early_stop_min_iterations=20,
+        fit_max_faces=256,
+        fit_max_points=256,
+        use_rotation_grid_search=False,
+        mask_shrink_pixels=1,
+        mask_shrink_iterations=1,
+        filter_vggt_quantile=False,
+        vggt_scene_scale=1.0,
+        num_samples=2048,
+        icp_max_iterations=20,
+        background_poisson_resolution=40,
+        render_resolution=96,
+        sigma=1e-5,
+        GT_scene=None,  # set below after phase 3
+    )
+    return cfg, Artifacts(cfg), img, input_path
+
+
+def _oracle_phase4(cfg, art, img):
+    """Inject phase-4 outputs: a synthetic depth-derived cloud + camera."""
+    from regen3d_tpu.pipeline.phase4_camera import export_reconstruction
+
+    h, w = img.shape[:2]
+    f = 200.0
+    # simple synthetic depth: floor plane + boxes at fixed depths
+    depth = np.full((h, w), 6.0, np.float32)
+    depth[120:, :] = 4.0
+    depth[70:130, 40:95] = 3.0
+    depth[85:125, 160:225] = 3.5
+    vv, uu = np.mgrid[0:h, 0:w]
+    x = (uu + 0.5 - w / 2) / f * depth
+    y = (vv + 0.5 - h / 2) / f * depth
+    pts = np.stack([x, y, depth], -1).reshape(-1, 3)
+    frames = {
+        os.path.basename(cfg.path("input_image")): {
+            "points": pts, "R": np.eye(3), "t": np.zeros(3),
+            "fx": f, "fy": f, "cx": w / 2, "cy": h / 2,
+            "width": w, "height": h,
+        },
+        "empty_room.png": {
+            "points": pts[::7], "R": np.eye(3), "t": np.zeros(3),
+            "fx": f, "fy": f, "cx": w / 2, "cy": h / 2,
+            "width": w, "height": h,
+        },
+    }
+    export_reconstruction(cfg, frames)
+
+
+class TestFullPipeline:
+    def test_phase1_findings(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase1_segmentation
+        stems = phase1_segmentation.run(cfg)
+        assert len(stems) >= 2
+        for s in stems:
+            assert os.path.exists(os.path.join(art.findings_fullsize, f"{s}.png"))
+            assert os.path.exists(os.path.join(art.findings_cropped, f"{s}.png"))
+            assert os.path.exists(os.path.join(art.banana_outline, f"{s}.png"))
+
+    def test_phase2_inpaint(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase2_inpaint
+        done = phase2_inpaint.run(cfg)
+        assert len(done) >= 1
+        assert os.path.exists(art.empty_room)
+        for s in done:
+            p = os.path.join(art.prepped_dir, f"{s}.png")
+            assert os.path.exists(p)
+            from PIL import Image
+            im = Image.open(p)
+            assert im.size == (512, 512) and im.mode == "RGBA"
+
+    def test_phase3_assets(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase3_assets
+        done = phase3_assets.run(cfg)
+        assert len(done) >= 1
+        for name in done:
+            assert os.path.exists(art.asset_glb(name))
+
+    def test_phase4_oracle_and_5(self, room):
+        cfg, art, img, _ = room
+        _oracle_phase4(cfg, art, img)
+        assert os.path.exists(art.camera_npz)
+        assert os.path.exists(art.scene_cloud_ply)
+        assert os.path.exists(os.path.join(art.colmap_sparse, "cameras.txt"))
+        from regen3d_tpu.utils.colmapio import ColmapReconstruction
+        rec = ColmapReconstruction.read(art.colmap_sparse)
+        assert len(rec.images) == 2
+        from regen3d_tpu.pipeline import phase5_extract
+        counts = phase5_extract.run(cfg)
+        assert any(v > 50 for v in counts.values())
+
+    def test_phase6_fit(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase6_pose
+        losses = phase6_pose.run(cfg)
+        assert len(losses) >= 1
+        for stem in losses:
+            assert os.path.exists(art.fitted_glb(stem))
+
+    def test_phase7_assembly(self, room):
+        cfg, art, img, _ = room
+        # use the combined scene itself as 'GT' so ICP has a target
+        from regen3d_tpu.pipeline import phase7_assemble
+        phase7_assemble.combine_scene_glb(cfg)
+        cfg2 = cfg.with_overrides(GT_scene=art.combined_scene_glb)
+        stats = phase7_assemble.run(cfg2)
+        assert os.path.exists(art.combined_scene_glb)
+        assert os.path.exists(art.combined_scene_bp_ply)
+        assert os.path.exists(art.pred_points_ply)
+        assert os.path.exists(art.gt_points_ply)
+        assert "icp_rmse" in stats and stats["icp_rmse"] < 0.05
+
+    def test_phase8_render(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase8_render
+        outs = phase8_render.run(cfg)
+        assert len(outs) >= 2
+        assert os.path.exists(art.predicted_image)
+
+    def test_phase9_eval(self, room):
+        cfg, art, img, _ = room
+        from regen3d_tpu.pipeline import phase9_eval
+        metrics = phase9_eval.run(cfg)
+        assert "chamfer_p3d" in metrics
+        assert "psnr" in metrics
+        runs = os.listdir(art.eval_dir)
+        assert len(runs) >= 1
+
+    def test_orchestrator_cli_registry(self):
+        from regen3d_tpu.orchestrator import PHASES
+        assert sorted(PHASES) == list(range(1, 10))

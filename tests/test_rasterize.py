@@ -76,8 +76,9 @@ class TestSoftSilhouette:
             return jnp.mean((a - target) ** 2)
 
         g = jax.grad(loss)(jnp.asarray(0.0))
-        # view +X is screen-left ⇒ to move right on screen, dx must DECREASE
-        assert float(g) > 0
+        # OpenCV view frame: +x is screen-right ⇒ increasing dx lowers the
+        # loss, so the gradient is negative
+        assert float(g) < 0
 
     def test_gradient_finite_and_nonzero(self):
         cam = _cam()
