@@ -1,8 +1,9 @@
 """Benchmark: phase-6 pose-fitting throughput (objects/second).
 
 Workload: 8 objects fitted simultaneously by the vmapped jitted engine —
-256² soft-silhouette render, 1024 faces/object, 2048 target points/object,
-300 Adam iterations (the reference's iteration budget, config.yaml:274).
+1024² tile-binned soft-silhouette render (the reference's image_size_DR),
+2048 faces/object, 2048 target points/object, 300 Adam iterations
+(config.yaml:274).
 
 Baseline: the reference runs one CUDA pose_matching process per object
 (≤300 Adam iters over a 1024² pytorch3d SoftSilhouette render, A40-class
@@ -25,9 +26,9 @@ import numpy as np
 REF_SEC_PER_OBJECT = 20.0  # documented estimate, see module docstring
 
 B = 8           # objects in the batch
-N_FACES = 1024
+N_FACES = 2048
 N_POINTS = 2048
-IMG = 256
+IMG = 1024      # reference image_size_DR (config.yaml:274)
 ITERS = 300
 
 
@@ -120,7 +121,8 @@ def main():
     cfg = FitConfig(image_hw=(IMG, IMG), sigma=1e-5, max_iterations=ITERS,
                     early_stop_min_iters=ITERS,  # force full budget for perf
                     learning_rate=0.005, face_chunk=256, point_chunk=512,
-                    record_history=False)
+                    record_history=False,
+                    use_binned_raster=True, bin_tile=64, faces_per_tile=256)
     init = PoseParams.zeros(B)._replace(
         translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1)))
 

@@ -154,6 +154,101 @@ def soft_silhouette(
     return alpha.reshape(h, w)
 
 
+def soft_silhouette_binned(
+    verts_screen: jnp.ndarray,
+    faces: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    sigma: float = 5e-7,
+    faces_mask: Optional[jnp.ndarray] = None,
+    znear: float = 1e-3,
+    tile: int = 64,
+    faces_per_tile: int = 256,
+    tiles_per_step: int = 8,
+) -> jnp.ndarray:
+    """Tile-binned soft silhouette — same semantics as :func:`soft_silhouette`,
+    an order of magnitude less work at high resolution.
+
+    The image is cut into ``tile``² pixel tiles; each tile gathers (top-K)
+    only the faces whose padded screen bbox overlaps it (the pad covers the
+    sigma falloff, so results match the dense version to float tolerance
+    for ``faces_per_tile`` ≥ the true overlap count). Binning is recomputed
+    inside the jit every call — vertices move every optimizer step — and is
+    itself vectorized. Fully autodiff-compatible: gradients flow through the
+    face gather back to vertices.
+
+    This is the TPU answer to the CUDA rasterizer's per-pixel face lists
+    (SURVEY §7.3 item 1): fixed-size bins, dense tiles, no dynamic shapes.
+    """
+    h, w = image_hw
+    assert h % tile == 0 and w % tile == 0, "image must be tile-aligned"
+    ndc = 2.0 / min(h, w)
+    f = faces.shape[0]
+    k = min(faces_per_tile, f)
+
+    tri = verts_screen[faces]                       # (F, 3, 3)
+    fmask = jnp.ones(f, bool) if faces_mask is None else faces_mask
+    ok = fmask & jnp.all(tri[..., 2] > znear, axis=-1)
+
+    # padded face bboxes in pixels; pad covers where sigmoid(-d²/σ) ≈ 0
+    pad_px = jnp.sqrt(sigma * 20.0) / ndc + 1.0
+    uv = tri[..., :2]
+    lo = jnp.min(uv, axis=1) - pad_px               # (F, 2)
+    hi = jnp.max(uv, axis=1) + pad_px
+    lo = jnp.where(ok[:, None], lo, 1e9)
+    hi = jnp.where(ok[:, None], hi, -1e9)
+
+    nty, ntx = h // tile, w // tile
+    ty = jnp.arange(nty) * tile
+    tx = jnp.arange(ntx) * tile
+    # overlap (T, F): tile [tx, tx+tile] × [ty, ty+tile] vs face bbox
+    ov_x = (lo[None, :, 0] < (tx[:, None] + tile)) & (hi[None, :, 0] > tx[:, None])
+    ov_y = (lo[None, :, 1] < (ty[:, None] + tile)) & (hi[None, :, 1] > ty[:, None])
+    overlap = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(nty * ntx, f)
+
+    # top-K overlapping faces per tile (arbitrary K of them if more overlap)
+    sel_score, sel_idx = lax.top_k(overlap.astype(jnp.float32), k)   # (T, K)
+    sel_valid = sel_score > 0.5
+    tri2_all = uv * ndc                                             # (F, 3, 2)
+
+    t_total = nty * ntx
+    pad_t = (-t_total) % tiles_per_step
+    if pad_t:
+        sel_idx = jnp.concatenate(
+            [sel_idx, jnp.zeros((pad_t, k), sel_idx.dtype)])
+        sel_valid = jnp.concatenate([sel_valid, jnp.zeros((pad_t, k), bool)])
+    n_steps = sel_idx.shape[0] // tiles_per_step
+
+    # per-tile local pixel grid in NDC offsets
+    base = _pixel_grid(tile, tile)                                   # (tile², 2)
+    tids = jnp.arange(sel_idx.shape[0])
+    tile_off = jnp.stack([(tids % ntx) * tile, (tids // ntx) * tile], -1)
+
+    @jax.checkpoint
+    def body(_, inp):
+        idxs, valids, offs = inp                  # (S, K), (S, K), (S, 2)
+        tri_sel = tri2_all[idxs]                  # (S, K, 3, 2)
+        pix = (base[None] + offs[:, None, :].astype(base.dtype)) * ndc  # (S, P, 2)
+
+        def one(pix_t, tri_t, val_t):
+            signed, _, _ = _face_coverage(pix_t, tri_t)
+            contrib = -jax.nn.softplus(-signed / sigma)
+            contrib = jnp.where(val_t[None, :], contrib, 0.0)
+            return jnp.sum(contrib, axis=1)       # (P,)
+
+        acc = jax.vmap(one)(pix, tri_sel, valids)  # (S, P)
+        return None, acc
+
+    steps = (sel_idx.reshape(n_steps, tiles_per_step, k),
+             sel_valid.reshape(n_steps, tiles_per_step, k),
+             tile_off.reshape(n_steps, tiles_per_step, 2))
+    _, accs = lax.scan(body, None, steps)
+    acc = accs.reshape(-1, tile * tile)[:t_total]
+    alpha = 1.0 - jnp.exp(acc)
+    # reassemble tiles → image
+    alpha = alpha.reshape(nty, ntx, tile, tile)
+    return alpha.transpose(0, 2, 1, 3).reshape(h, w)
+
+
 class Fragments(NamedTuple):
     """Per-pixel rasterization output (hard z-buffer)."""
 

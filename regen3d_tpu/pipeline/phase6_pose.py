@@ -136,9 +136,12 @@ def run(cfg: Config) -> Dict[str, float]:
 
     cam_full = camera_from_npz(art.camera_npz)
     orig_h, orig_w = cam_full.image_size
-    render_h = img_size
-    render_w = int(round(orig_w * img_size / orig_h))
+    # tile-aligned render size (binned rasterizer requirement)
+    bin_tile = int(cfg.get("bin_tile", 32))
+    render_h = (img_size // bin_tile) * bin_tile
+    render_w = (int(round(orig_w * img_size / orig_h)) // bin_tile) * bin_tile
     cam = cam_full.rescaled(render_h, render_w)
+    use_binned = bool(cfg.get("use_binned_raster", render_h >= 256))
 
     # floor plane (shared by all on-floor objects)
     plane = None
@@ -264,6 +267,9 @@ def run(cfg: Config) -> Dict[str, float]:
         max_iterations=int(cfg.get("max_iterations", 300)),
         early_stop_grad=float(cfg.get("early_stop_grad_threshold", 5e-3)),
         early_stop_min_iters=int(cfg.get("early_stop_min_iterations", 200)),
+        use_binned_raster=use_binned,
+        bin_tile=bin_tile,
+        faces_per_tile=int(cfg.get("faces_per_tile", 256)),
     )
     init = PoseParams(
         translation=jnp.asarray(init_t),

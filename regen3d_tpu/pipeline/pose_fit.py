@@ -95,6 +95,11 @@ class FitConfig:
     face_chunk: int = 256
     point_chunk: int = 512
     record_history: bool = True
+    # tile-binned silhouette (ops/rasterize.soft_silhouette_binned): large
+    # wins at high resolution; requires image_hw divisible by bin_tile.
+    use_binned_raster: bool = False
+    bin_tile: int = 64
+    faces_per_tile: int = 256
 
 
 def pose_transform(
@@ -128,8 +133,14 @@ def _object_loss(
     cfg: FitConfig,
 ) -> jnp.ndarray:
     vs = camera.view_to_screen(camera.world_to_view(v_world))
-    alpha = soft_silhouette(vs, faces, cfg.image_hw, sigma=cfg.sigma,
-                            faces_mask=faces_mask, chunk=cfg.face_chunk)
+    if cfg.use_binned_raster:
+        from regen3d_tpu.ops.rasterize import soft_silhouette_binned
+        alpha = soft_silhouette_binned(
+            vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
+            tile=cfg.bin_tile, faces_per_tile=cfg.faces_per_tile)
+    else:
+        alpha = soft_silhouette(vs, faces, cfg.image_hw, sigma=cfg.sigma,
+                                faces_mask=faces_mask, chunk=cfg.face_chunk)
     l_sil = silhouette_loss(alpha, target_mask, use_focal=cfg.use_focal)
     l_3d = point_mesh_face_distance(
         v_world, faces, target_points,
