@@ -312,4 +312,53 @@ def run(cfg: Config) -> Dict[str, float]:
         out[stem] = float(losses[i])
         log.info("phase6: %s loss=%.4f converged=%s", stem, losses[i],
                  bool(np.asarray(result.converged)[i]))
+
+    if bool(cfg.get("write_fit_gifs", True)) and fit_cfg.record_history:
+        _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam)
     return out
+
+
+def _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam,
+                every: int = 5, gif_res: int = 160) -> None:
+    """Per-object optimization GIFs: Phong-render every 5th recorded pose
+    (reference: pose_matching_planar.py:1687-1716)."""
+    import jax.numpy as jnp
+
+    from regen3d_tpu.ops.rasterize import phong_shade, rasterize_hard
+    from regen3d_tpu.pipeline.pose_fit import PoseParams, pose_transform
+    from regen3d_tpu.utils.image import save_gif
+    from regen3d_tpu.utils.meshproc import vertex_normals
+
+    hist = np.asarray(result.history)          # (T+1, B, 8)
+    n_it = int(result.num_iters)
+    frames_idx = list(range(0, n_it + 1, every)) or [0]
+    h = gif_res
+    w = int(round(cam.image_size[1] * gif_res / cam.image_size[0]))
+    gcam = cam.rescaled(h, w)
+
+    @jax.jit
+    def render_frame(flat_params):
+        p = PoseParams(translation=flat_params[:, 0:3], yaw=flat_params[:, 3],
+                       rot_aa=flat_params[:, 4:7], log_scale=flat_params[:, 7])
+        v_world = pose_transform(p, batch, fit_cfg)
+
+        def one(v, f, fm):
+            vs = gcam.view_to_screen(gcam.world_to_view(v))
+            frag = rasterize_hard(vs, f, (h, w), faces_mask=fm,
+                                  chunk=fit_cfg.face_chunk)
+            n = jnp.zeros_like(v).at[:].set(jnp.asarray([0.0, 0, -1]))
+            col = jnp.full_like(v, 0.6)
+            return phong_shade(frag, f, v, n, col,
+                               light_pos=gcam.center + jnp.asarray([0, 2.0, 0]),
+                               camera_pos=gcam.center)
+
+        return jax.vmap(one)(v_world, batch.faces, batch.faces_mask)
+
+    per_obj_frames = {i: [] for i in range(len(jobs))}
+    for fi in frames_idx:
+        imgs = np.asarray(render_frame(jnp.asarray(hist[fi])))
+        for i in range(len(jobs)):
+            per_obj_frames[i].append(imgs[i])
+    for i, (stem, *_r) in enumerate(jobs):
+        save_gif(os.path.join(art.glb_dir, f"{stem}.gif"),
+                 per_obj_frames[i], fps=8)

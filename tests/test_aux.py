@@ -1,0 +1,75 @@
+"""Aux subsystems: profiling spans, interactive editing session, fleet sharding."""
+
+import numpy as np
+import pytest
+
+from regen3d_tpu.pipeline.detection import BoundingBox, DetectionResult
+from regen3d_tpu.pipeline.interactive import EditSession
+from regen3d_tpu.utils import profiling
+
+
+class TestProfiling:
+    def test_spans(self):
+        profiling.reset()
+        with profiling.timed("outer", log_it=False):
+            with profiling.timed("inner", log_it=False):
+                pass
+        rows = profiling.span_summary()
+        names = [r[0] for r in rows]
+        assert "outer" in names and "inner" in names
+        profiling.log_summary()
+        profiling.reset()
+        assert profiling.span_summary() == []
+
+
+class TestEditSession:
+    def _session(self, rng):
+        img = rng.integers(0, 255, size=(64, 80, 3)).astype(np.uint8)
+        m = np.zeros((64, 80), bool)
+        m[10:30, 10:30] = True
+        init = [DetectionResult(0.9, "chair", BoundingBox(10, 10, 30, 30), m)]
+        return EditSession(img, initial=init)
+
+    def test_point_paint_fallback(self, rng):
+        s = self._session(rng)
+        before = s.masks[0].mask.sum()
+        s.add_point(0, 50, 50, positive=True)
+        assert s.masks[0].mask.sum() > before
+        s.add_point(0, 50, 50, positive=False)
+
+    def test_box_delete_merge(self, rng):
+        s = self._session(rng)
+        j = s.new_from_box("table", 40, 40, 60, 60)
+        assert len(s.masks) == 2
+        s.merge(0, j)
+        assert len(s.masks) == 1
+        assert s.masks[0].mask[45, 45]
+        s.delete(0)
+        assert len(s.masks) == 0
+
+    def test_overlap_resolution_and_finish(self, rng):
+        s = self._session(rng)
+        s.new_from_box("table", 15, 15, 50, 50)
+        s.resolve_overlaps()
+        a, b = s.masks[0].mask, s.masks[1].mask
+        assert not (a & b).any()
+        dets = s.finish()
+        assert len(dets) == 2
+        assert {d.label for d in dets} == {"chair", "table"}
+
+
+class TestFleet:
+    def test_scene_sharding_single_host(self, rng, tmp_path):
+        from regen3d_tpu.parallel.fleet import SceneJob, run_fleet
+        from regen3d_tpu.utils.image import save_image
+        img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+        p = str(tmp_path / "in.png")
+        save_image(p, img)
+        jobs = [SceneJob("s1", p, str(tmp_path / "s1" / "output")),
+                SceneJob("s2", p, str(tmp_path / "s2" / "output"))]
+        # phase 1 only (IO-light, weightless fallback path)
+        res = run_fleet(jobs, phases=[1])
+        assert len(res) == 2
+        assert all(r.ok for r in res)
+        import os
+        assert os.path.isdir(str(tmp_path / "s1" / "output" / "findings"))
