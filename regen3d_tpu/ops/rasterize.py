@@ -154,6 +154,151 @@ def soft_silhouette(
     return alpha.reshape(h, w)
 
 
+def face_edge_coeffs(tri2: jnp.ndarray) -> jnp.ndarray:
+    """Per-face edge-line coefficients for the MXU silhouette path.
+
+    tri2: (F, 3, 2) screen/NDC triangles → (F, 3, 3) rows (a, b, c) per edge
+    such that f(p) = a·px + b·py + c is the SIGNED distance of p to the edge
+    line, positive on the triangle's interior side (orientation-normalized).
+    """
+    v0 = tri2
+    v1 = jnp.roll(tri2, -1, axis=1)
+    d = v1 - v0                                    # (F, 3, 2)
+    length = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-12)
+    # inward normal for CCW: rotate d by +90° = (-dy, dx); orientation fix
+    n = jnp.stack([-d[..., 1], d[..., 0]], axis=-1) / length[..., None]
+    c = -jnp.sum(n * v0, axis=-1)                  # (F, 3)
+    area = ((tri2[:, 1, 0] - tri2[:, 0, 0]) * (tri2[:, 2, 1] - tri2[:, 0, 1])
+            - (tri2[:, 1, 1] - tri2[:, 0, 1]) * (tri2[:, 2, 0] - tri2[:, 0, 0]))
+    s = jnp.where(area >= 0, 1.0, -1.0)[:, None]
+    return jnp.concatenate([n * s[..., None], (c * s)[..., None]], axis=-1)
+
+
+def _edge_contrib(pix_h: jnp.ndarray, coeffs: jnp.ndarray,
+                  valid: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Σ_f log(1−p_f) for one pixel set × face set, MXU formulation.
+
+    pix_h: (P, 3) homogeneous NDC pixels. coeffs: (F, 3, 3). valid: (F,).
+    The face's signed distance to its boundary is approximated by the
+    min edge-line distance (exact in edge regions and the interior; a lower
+    bound within vertex corner sectors — sub-pixel-scale halo difference vs
+    the exact SoftRas distance at the sigmas in use).
+    """
+    f = coeffs.shape[0]
+    A = coeffs.reshape(f * 3, 3)
+    e = jnp.dot(pix_h, A.T, preferred_element_type=jnp.float32)  # (P, 3F) MXU
+    e = e.reshape(-1, f, 3)
+    dmin = jnp.min(e, axis=-1)                  # (P, F): >0 inside
+    # SoftRas signed *squared* distance with sign: z = d·|d|/σ
+    z = dmin * jnp.abs(dmin) / sigma
+    contrib = -jax.nn.softplus(z)
+    return jnp.sum(jnp.where(valid[None, :], contrib, 0.0), axis=1)
+
+
+def soft_silhouette_edge(
+    verts_screen: jnp.ndarray,
+    faces: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    sigma: float = 5e-7,
+    faces_mask: Optional[jnp.ndarray] = None,
+    znear: float = 1e-3,
+    tile: int = 64,
+    faces_per_tile: int = 128,
+    tiles_per_step: int = 8,
+    bins: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """MXU-native tile-binned soft silhouette.
+
+    Same interface as :func:`soft_silhouette_binned` but the per-pair math
+    is a single (pixels, 3)×(3, 3·faces) contraction on the systolic array
+    plus ~8 VPU ops — the speed-of-light formulation for this op on TPU.
+    Pass precomputed ``bins`` (from :func:`compute_silhouette_bins`) to hoist
+    binning out of an optimization loop.
+    """
+    h, w = image_hw
+    ndc = 2.0 / min(h, w)
+    tri = verts_screen[faces]
+    fmask = jnp.ones(faces.shape[0], bool) if faces_mask is None else faces_mask
+    ok = fmask & jnp.all(tri[..., 2] > znear, axis=-1)
+    tri2 = tri[..., :2] * ndc
+    coeffs = face_edge_coeffs(tri2)                # (F, 3, 3)
+
+    if bins is None:
+        bins = compute_silhouette_bins(verts_screen, faces, image_hw, sigma,
+                                       faces_mask, znear, tile, faces_per_tile)
+    sel_idx, sel_valid = bins
+    k = sel_idx.shape[1]
+
+    nty, ntx = h // tile, w // tile
+    t_total = nty * ntx
+    pad_t = (-t_total) % tiles_per_step
+    if pad_t:
+        sel_idx = jnp.concatenate([sel_idx, jnp.zeros((pad_t, k), sel_idx.dtype)])
+        sel_valid = jnp.concatenate([sel_valid, jnp.zeros((pad_t, k), bool)])
+    n_steps = sel_idx.shape[0] // tiles_per_step
+
+    base = _pixel_grid(tile, tile)
+    tids = jnp.arange(sel_idx.shape[0])
+    tile_off = jnp.stack([(tids % ntx) * tile, (tids // ntx) * tile], -1)
+
+    @jax.checkpoint
+    def body(_, inp):
+        idxs, valids, offs = inp
+        co = coeffs[idxs]                           # (S, K, 3, 3)
+        va = valids & ok[idxs]
+        pix = (base[None] + offs[:, None, :].astype(base.dtype)) * ndc
+        pix_h = jnp.concatenate([pix, jnp.ones_like(pix[..., :1])], axis=-1)
+        acc = jax.vmap(functools.partial(_edge_contrib, sigma=sigma))(
+            pix_h, co, va)
+        return None, acc
+
+    steps = (sel_idx.reshape(n_steps, tiles_per_step, k),
+             sel_valid.reshape(n_steps, tiles_per_step, k),
+             tile_off.reshape(n_steps, tiles_per_step, 2))
+    _, accs = lax.scan(body, None, steps)
+    acc = accs.reshape(-1, tile * tile)[:t_total]
+    alpha = 1.0 - jnp.exp(acc)
+    alpha = alpha.reshape(nty, ntx, tile, tile)
+    return alpha.transpose(0, 2, 1, 3).reshape(h, w)
+
+
+def compute_silhouette_bins(
+    verts_screen: jnp.ndarray,
+    faces: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    sigma: float = 5e-7,
+    faces_mask: Optional[jnp.ndarray] = None,
+    znear: float = 1e-3,
+    tile: int = 64,
+    faces_per_tile: int = 128,
+    margin_px: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-K overlapping faces per image tile → (sel_idx (T,K), valid (T,K)).
+
+    ``margin_px`` inflates face bboxes so bins stay valid while vertices
+    move during an optimization segment (binning hoisted out of the loop).
+    """
+    h, w = image_hw
+    ndc = 2.0 / min(h, w)
+    f = faces.shape[0]
+    k = min(faces_per_tile, f)
+    tri = verts_screen[faces]
+    fmask = jnp.ones(f, bool) if faces_mask is None else faces_mask
+    ok = fmask & jnp.all(tri[..., 2] > znear, axis=-1)
+    pad_px = jnp.sqrt(sigma * 20.0) / ndc + 1.0 + margin_px
+    uv = tri[..., :2]
+    lo = jnp.where(ok[:, None], jnp.min(uv, axis=1) - pad_px, 1e9)
+    hi = jnp.where(ok[:, None], jnp.max(uv, axis=1) + pad_px, -1e9)
+    nty, ntx = h // tile, w // tile
+    ty = jnp.arange(nty) * tile
+    tx = jnp.arange(ntx) * tile
+    ov_x = (lo[None, :, 0] < (tx[:, None] + tile)) & (hi[None, :, 0] > tx[:, None])
+    ov_y = (lo[None, :, 1] < (ty[:, None] + tile)) & (hi[None, :, 1] > ty[:, None])
+    overlap = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(nty * ntx, f)
+    score, idx = lax.top_k(overlap.astype(jnp.float32), k)
+    return idx, score > 0.5
+
+
 def soft_silhouette_binned(
     verts_screen: jnp.ndarray,
     faces: jnp.ndarray,

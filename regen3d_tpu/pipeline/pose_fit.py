@@ -100,6 +100,11 @@ class FitConfig:
     use_binned_raster: bool = False
     bin_tile: int = 64
     faces_per_tile: int = 256
+    # MXU edge-function silhouette (ops/rasterize.soft_silhouette_edge) with
+    # binning hoisted out of the optimization loop: fastest path. The bin
+    # margin must cover vertex screen motion across the whole fit.
+    use_edge_raster: bool = False
+    bin_margin_px: float = 64.0
 
 
 def pose_transform(
@@ -127,13 +132,19 @@ def _object_loss(
     target_mask: jnp.ndarray,
     target_points: jnp.ndarray,
     points_mask: jnp.ndarray,
+    bins,
     camera: Camera,
     bbox_lo: jnp.ndarray,
     bbox_hi: jnp.ndarray,
     cfg: FitConfig,
 ) -> jnp.ndarray:
     vs = camera.view_to_screen(camera.world_to_view(v_world))
-    if cfg.use_binned_raster:
+    if cfg.use_edge_raster:
+        from regen3d_tpu.ops.rasterize import soft_silhouette_edge
+        alpha = soft_silhouette_edge(
+            vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
+            tile=cfg.bin_tile, faces_per_tile=cfg.faces_per_tile, bins=bins)
+    elif cfg.use_binned_raster:
         from regen3d_tpu.ops.rasterize import soft_silhouette_binned
         alpha = soft_silhouette_binned(
             vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
@@ -150,20 +161,44 @@ def _object_loss(
 
 
 def batch_loss(
-    params: PoseParams, batch: ObjectBatch, camera: Camera, cfg: FitConfig
+    params: PoseParams, batch: ObjectBatch, camera: Camera, cfg: FitConfig,
+    bins=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(total scalar, per-object losses (B,)). Padding slots contribute 0."""
     v_world = pose_transform(params, batch, cfg)
-    def loss_fn(v, vm, fc, fm, tm, tp, pm):
+
+    def loss_fn(v, vm, fc, fm, tm, tp, pm, bn):
         # camera/bbox/cfg are closed over (broadcast, not vmapped)
-        return _object_loss(v, vm, fc, fm, tm, tp, pm,
+        return _object_loss(v, vm, fc, fm, tm, tp, pm, bn,
                             camera, batch.bbox_lo, batch.bbox_hi, cfg)
 
+    b = v_world.shape[0]
+    if bins is None:
+        bins = (jnp.zeros((b, 1, 1), jnp.int32), jnp.zeros((b, 1, 1), bool))
     per_obj = jax.vmap(loss_fn)(
         v_world, batch.verts_mask, batch.faces, batch.faces_mask,
-        batch.target_mask, batch.target_points, batch.points_mask)
+        batch.target_mask, batch.target_points, batch.points_mask, bins)
     per_obj = jnp.where(batch.object_valid, per_obj, 0.0)
     return jnp.sum(per_obj), per_obj
+
+
+def compute_batch_bins(
+    params: PoseParams, batch: ObjectBatch, camera: Camera, cfg: FitConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-object silhouette bins from the CURRENT pose, with a motion
+    margin — hoists binning out of the optimization loop (edge raster path)."""
+    from regen3d_tpu.ops.rasterize import compute_silhouette_bins
+
+    v_world = pose_transform(params, batch, cfg)
+
+    def one(v, fc, fm):
+        vs = camera.view_to_screen(camera.world_to_view(v))
+        return compute_silhouette_bins(
+            vs, fc, cfg.image_hw, sigma=cfg.sigma, faces_mask=fm,
+            tile=cfg.bin_tile, faces_per_tile=cfg.faces_per_tile,
+            margin_px=cfg.bin_margin_px)
+
+    return jax.vmap(one)(v_world, batch.faces, batch.faces_mask)
 
 
 class FitResult(NamedTuple):
@@ -188,7 +223,9 @@ def fit_poses(
 ) -> FitResult:
     """Run the batched Adam pose optimization (single compiled program)."""
     b = init_params.yaw.shape[0]
-    grad_fn = jax.grad(lambda p: batch_loss(p, batch, camera, cfg)[0])
+    bins = (compute_batch_bins(init_params, batch, camera, cfg)
+            if cfg.use_edge_raster else None)
+    grad_fn = jax.grad(lambda p: batch_loss(p, batch, camera, cfg, bins)[0])
 
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     zeros_like = lambda p: jax.tree.map(jnp.zeros_like, p)
@@ -245,7 +282,7 @@ def fit_poses(
             zeros_like(init_params), zeros_like(init_params),
             jnp.ones(b, bool), hist0)
     it, params, _m, _v, active, hist = lax.while_loop(cond, step, init)
-    _, per_obj = batch_loss(params, batch, camera, cfg)
+    _, per_obj = batch_loss(params, batch, camera, cfg, bins)
     return FitResult(params=params, losses=per_obj, num_iters=it,
                      converged=~active, history=hist)
 
