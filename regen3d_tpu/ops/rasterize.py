@@ -184,11 +184,17 @@ def _edge_contrib(pix_h: jnp.ndarray, coeffs: jnp.ndarray,
     bound within vertex corner sectors — sub-pixel-scale halo difference vs
     the exact SoftRas distance at the sigmas in use).
     """
-    f = coeffs.shape[0]
-    A = coeffs.reshape(f * 3, 3)
-    e = jnp.dot(pix_h, A.T, preferred_element_type=jnp.float32)  # (P, 3F) MXU
-    e = e.reshape(-1, f, 3)
-    dmin = jnp.min(e, axis=-1)                  # (P, F): >0 inside
+    # Contraction dim is only 3, so broadcast FMAs on the VPU beat a K=3
+    # matmul (the MXU would pad K to 128). Keep each edge as its own dense
+    # (P, F) plane — min across three planes is elementwise, with no
+    # stride-3 lane shuffles.
+    px = pix_h[:, 0:1]
+    py = pix_h[:, 1:2]
+    A = coeffs.transpose(1, 2, 0)               # (3 edges, 3 coeffs, F)
+    e0 = px * A[0, 0][None] + (py * A[0, 1][None] + A[0, 2][None])
+    e1 = px * A[1, 0][None] + (py * A[1, 1][None] + A[1, 2][None])
+    e2 = px * A[2, 0][None] + (py * A[2, 1][None] + A[2, 2][None])
+    dmin = jnp.minimum(e0, jnp.minimum(e1, e2))  # (P, F): >0 inside
     # SoftRas signed *squared* distance with sign: z = d·|d|/σ
     z = dmin * jnp.abs(dmin) / sigma
     contrib = -jax.nn.softplus(z)

@@ -141,7 +141,10 @@ def run(cfg: Config) -> Dict[str, float]:
     render_h = (img_size // bin_tile) * bin_tile
     render_w = (int(round(orig_w * img_size / orig_h)) // bin_tile) * bin_tile
     cam = cam_full.rescaled(render_h, render_w)
-    use_binned = bool(cfg.get("use_binned_raster", render_h >= 256))
+    # MXU edge rasterizer with hoisted bins for production resolutions;
+    # exact dense SoftRas for small (test) renders
+    use_edge = bool(cfg.get("use_edge_raster", render_h >= 256))
+    use_binned = bool(cfg.get("use_binned_raster", False))
 
     # floor plane (shared by all on-floor objects)
     plane = None
@@ -268,8 +271,10 @@ def run(cfg: Config) -> Dict[str, float]:
         early_stop_grad=float(cfg.get("early_stop_grad_threshold", 5e-3)),
         early_stop_min_iters=int(cfg.get("early_stop_min_iterations", 200)),
         use_binned_raster=use_binned,
+        use_edge_raster=use_edge,
         bin_tile=bin_tile,
-        faces_per_tile=int(cfg.get("faces_per_tile", 256)),
+        faces_per_tile=int(cfg.get("faces_per_tile", 128)),
+        bin_margin_px=float(cfg.get("bin_margin_px", 64.0)),
     )
     init = PoseParams(
         translation=jnp.asarray(init_t),
