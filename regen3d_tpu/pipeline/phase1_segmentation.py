@@ -174,4 +174,11 @@ def run(cfg: Config, sam=None, sam_params=None,
     if not detections:
         log.warning("phase1: no detections")
         return []
-    return export_findings(cfg, image, detections)
+    stems = export_findings(cfg, image, detections)
+    # depth.png artifact (reference: depth_from_image, global_utils.py:357-418)
+    try:
+        from regen3d_tpu.pipeline import depth as depth_mod
+        depth_mod.run(cfg)
+    except Exception:
+        log.exception("phase1: depth estimation failed (non-fatal)")
+    return stems
