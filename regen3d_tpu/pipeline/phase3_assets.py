@@ -156,17 +156,25 @@ def _largest_component(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return faces[roots == vals[np.argmax(counts)]]
 
 
-def vertex_colors_from_image(verts: np.ndarray, image: np.ndarray
-                             ) -> np.ndarray:
-    """Front-projection vertex coloring (texture-bake placeholder): the
-    object image is projected along −Z onto the normalized mesh."""
-    h, w = image.shape[:2]
-    u = np.clip(((verts[:, 0] + 1) / 2 * (w - 1)), 0, w - 1).astype(int)
-    v = np.clip(((1 - (verts[:, 1] + 1) / 2) * (h - 1)), 0, h - 1).astype(int)
-    rgb = image[v, u, :3].astype(np.float32)
+def vertex_colors_from_image(verts: np.ndarray, faces: np.ndarray,
+                             image: np.ndarray) -> np.ndarray:
+    """Visibility-aware texture bake from the object image (the
+    Hunyuan3DPaint baking stage; multiview generation pending — ROADMAP 6).
+
+    The object view is treated as a frontal camera; occluded (back-facing /
+    hidden) vertices fall back to the mean visible color."""
+    from regen3d_tpu.camera import lookat_camera
+    from regen3d_tpu.pipeline.texture import bake_vertex_colors
+
+    rgb = image[..., :3].astype(np.float32)
     if rgb.max() > 1.001:
         rgb = rgb / 255.0
-    return np.concatenate([rgb, np.ones((len(rgb), 1), np.float32)], -1)
+    center = verts.mean(0)
+    extent = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 1e-6
+    cam = lookat_camera(center + np.asarray([0, 0, -2.2 * extent], np.float32),
+                        center, rgb.shape[:2],
+                        focal_px=rgb.shape[0] * 1.1)
+    return bake_vertex_colors(verts, faces, [(cam, rgb)])
 
 
 def run(cfg: Config, generator: Optional[AssetGenerator] = None,
@@ -224,7 +232,7 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
                                 [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
                                 [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]],
                                np.int32)
-        colors = vertex_colors_from_image(verts, img)
+        colors = vertex_colors_from_image(verts, faces, img)
         out_path = art.asset_glb(name)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         save_glb(out_path, SceneData(meshes=[MeshData(

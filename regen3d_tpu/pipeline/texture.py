@@ -1,0 +1,107 @@
+"""Texture baking: project view images onto mesh color with visibility.
+
+The reference's ``Hunyuan3DPaintPipeline`` bakes multiview SD-generated
+images onto the mesh through its own CUDA rasterizer (SURVEY §2.10). This
+module is the TPU equivalent of the baking stage: for each view, the mesh
+is depth-rasterized (ops/rasterize.rasterize_hard) for occlusion, every
+vertex samples the view image where visible, and views blend by facing
+weight. Runs at vertex resolution today (the reference decimates to ~50k
+faces, where vertex and texel resolution are comparable); texel-space
+atlases are ROADMAP item 6. The multiview image *generator* (SD multiview
+UNet) plugs in via models/unet.py once weights convert.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regen3d_tpu.camera import Camera
+from regen3d_tpu.ops.rasterize import rasterize_hard
+from regen3d_tpu.utils.meshproc import vertex_normals
+
+log = logging.getLogger(__name__)
+
+
+def bake_vertex_colors(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    views: Sequence[Tuple[Camera, np.ndarray]],
+    depth_eps: float = 5e-3,
+    fallback: Optional[np.ndarray] = None,
+    chunk: int = 256,
+) -> np.ndarray:
+    """Blend view images onto mesh vertices with occlusion + facing weights.
+
+    Args:
+      verts: (V, 3) world. faces: (F, 3). views: [(camera, (H, W, 3) float
+        image in [0,1])]. fallback: (V, 3/4) colors for never-visible verts.
+
+    Returns (V, 4) RGBA float vertex colors.
+    """
+    v = jnp.asarray(verts, jnp.float32)
+    f = jnp.asarray(faces, jnp.int32)
+    normals = jnp.asarray(vertex_normals(verts, faces))
+
+    acc = jnp.zeros((len(verts), 3), jnp.float32)
+    wsum = jnp.zeros((len(verts), 1), jnp.float32)
+
+    @jax.jit
+    def one_view(acc, wsum, img, cam_R, cam_T, cam_f, cam_p):
+        cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
+                     image_size=img.shape[:2])
+        vs = cam.view_to_screen(cam.world_to_view(v))
+        frag = rasterize_hard(vs, f, img.shape[:2], chunk=chunk)
+        uv, z = cam.project(v)
+        h, w = img.shape[:2]
+        xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        zbuf = frag.depth[yi, xi]
+        visible = (z > 0) & (z <= zbuf * (1 + depth_eps) + depth_eps)
+        inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        # facing weight: vertex normal vs direction to camera
+        to_cam = cam.center - v
+        to_cam = to_cam / jnp.maximum(
+            jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9)
+        facing = jnp.abs(jnp.sum(normals * to_cam, axis=-1))
+        wgt = jnp.where(visible & inb, facing, 0.0)[:, None]
+        color = img[yi, xi]
+        return acc + wgt * color, wsum + wgt
+
+    for cam, img in views:
+        acc, wsum = one_view(acc, wsum, jnp.asarray(img, jnp.float32),
+                             cam.R, cam.T, cam.focal, cam.principal)
+
+    colors = np.array(acc / jnp.maximum(wsum, 1e-9))  # writable host copy
+    covered = np.asarray(wsum)[:, 0] > 1e-6
+    if fallback is not None:
+        colors[~covered] = np.asarray(fallback)[~covered, :3]
+    else:
+        # fill uncovered vertices with the mean visible color
+        if covered.any():
+            colors[~covered] = colors[covered].mean(0)
+    rgba = np.concatenate([np.clip(colors, 0, 1),
+                           np.ones((len(colors), 1), np.float32)], -1)
+    return rgba
+
+
+def orbit_views(center: np.ndarray, radius: float, image: np.ndarray,
+                n_views: int = 6, elevation: float = 0.3,
+                focal_scale: float = 1.2) -> List[Tuple[Camera, np.ndarray]]:
+    """Camera ring around an object (the reference's max_num_view=6 layout,
+    config.yaml:190). All views share `image` until the multiview generator
+    lands — layout utility + single-view baking path."""
+    views = []
+    h = image.shape[0]
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        eye = center + radius * np.asarray([
+            np.sin(ang), elevation, -np.cos(ang)], np.float32)
+        from regen3d_tpu.camera import lookat_camera
+        cam = lookat_camera(eye, center, image.shape[:2], focal_px=h * focal_scale)
+        views.append((cam, image))
+    return views
