@@ -170,5 +170,24 @@ def main():
     }))
 
 
+def main_with_recovery(attempts: int = 3) -> None:
+    """The device tunnel on this image occasionally drops the TPU worker
+    (it recovers within ~1 min); retry rather than fail the bench run."""
+    import sys
+    import traceback
+
+    for i in range(attempts):
+        try:
+            main()
+            return
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            if i + 1 < attempts:
+                print(f"bench attempt {i + 1} failed; retrying in 75 s",
+                      file=sys.stderr)
+                time.sleep(75)
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_recovery()

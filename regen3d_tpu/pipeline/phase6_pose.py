@@ -77,6 +77,39 @@ def _floor_overlap(obj_mask: np.ndarray, floor_mask: Optional[np.ndarray],
     return ix > 0 and iy > 0
 
 
+def _write_floor_debug(cfg, art, floor_cloud, plane, p2w) -> None:
+    """Floor-fit debug PLYs (reference: pose_matching_planar.py:676-768):
+    FLOOR.ply (raw cloud), FLOOR_RESIDUALS.ply (residual-colored),
+    PLANE_SAMPLED.ply (regular grid on the fitted plane — also the ground-
+    matching target consumed by phase 7)."""
+    import jax.numpy as jnp
+
+    from regen3d_tpu.utils.ply import save_ply
+
+    dbg = os.path.join(art.temp, "debug")
+    os.makedirs(dbg, exist_ok=True)
+    pts = np.asarray(floor_cloud, np.float32)
+    save_ply(os.path.join(dbg, "FLOOR.ply"), pts)
+
+    resid = np.abs(np.asarray(plane.signed_distance(jnp.asarray(pts))))
+    t = np.clip(resid / max(np.quantile(resid, 0.95), 1e-9), 0, 1)
+    colors = np.stack([t * 255, (1 - t) * 80, (1 - t) * 255], -1).astype(np.uint8)
+    save_ply(os.path.join(dbg, "FLOOR_RESIDUALS.ply"), pts, colors=colors)
+
+    # regular grid on the plane, covering the floor cloud's footprint
+    in_plane = np.asarray(plane.project(jnp.asarray(pts)))
+    lo = in_plane.min(0)
+    hi = in_plane.max(0)
+    n = 40
+    us = np.linspace(0, 1, n)
+    gx, gz = np.meshgrid(us, us)
+    grid = lo[None, :] + np.stack(
+        [gx.ravel(), np.full(n * n, 0.5), gz.ravel()], -1) * (hi - lo)[None, :]
+    grid_on_plane = np.asarray(plane.project(jnp.asarray(grid.astype(np.float32))))
+    save_ply(os.path.join(dbg, "PLANE_SAMPLED.ply"), grid_on_plane)
+    log.info("phase6: floor debug artifacts → %s", dbg)
+
+
 def fit_floor_plane(cfg: Config, floor_points: np.ndarray):
     """SVD vs RANSAC floor-plane fit, chosen by inlier quality
     (reference: extract_and_fit_floor_plane, pose_matching_planar.py:477-770)."""
@@ -151,6 +184,8 @@ def run(cfg: Config) -> Dict[str, float]:
     if floor_cloud is not None and len(floor_cloud) > 32:
         plane = fit_floor_plane(cfg, floor_cloud)
         w2p, p2w = plane_transforms(plane)
+        if bool(cfg.get("write_debug_artifacts", True)):
+            _write_floor_debug(cfg, art, floor_cloud, plane, p2w)
     floor_names = [n for n in cfg.get("list_aluminium_scene", [])]  # placeholder
 
     # background AABB from the empty-room cloud (bbox hinge loss)

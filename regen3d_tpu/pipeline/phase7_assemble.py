@@ -129,12 +129,50 @@ def mesh_background(cfg: Config) -> Optional[str]:
     if len(faces) == 0:
         log.warning("phase7: background meshing produced no faces")
         return None
+    verts = _match_grounds(cfg, verts)
     save_glb(art.ground_aligned_glb, SceneData(meshes=[
         MeshData(name="background", vertices=verts, faces=faces,
                  base_color=np.asarray([0.8, 0.8, 0.8, 1.0]),
                  metallic=0.0, roughness=0.9)]))
     log.info("phase7: background mesh %d verts / %d faces", len(verts), len(faces))
     return art.ground_aligned_glb
+
+
+def _match_grounds(cfg: Config, verts: np.ndarray) -> np.ndarray:
+    """Align the background mesh's ground to the fitted floor plane
+    (reference: match_grounds, mesh_pointclouds.py:280-458 — iterative XZ-
+    radius NN mean-Y offset against PLANE_SAMPLED.ply).
+
+    Iteratively shifts the mesh vertically so its low band agrees with the
+    phase-6 plane samples within `point_search_radius`."""
+    art = Artifacts(cfg)
+    plane_path = os.path.join(art.temp, "debug", "PLANE_SAMPLED.ply")
+    if not os.path.exists(plane_path):
+        return verts
+    target = load_ply(plane_path).vertices
+    radius = float(cfg.get("point_search_radius", 0.05))
+    max_iters = int(cfg.get("max_ground_matching_iterations", 20))
+    v = verts.copy()
+    for _ in range(max_iters):
+        # ground band of the mesh: lowest decile in Y
+        band = v[v[:, 1] <= np.quantile(v[:, 1], 0.1)]
+        if len(band) == 0:
+            break
+        # XZ-radius NN against the plane samples
+        from scipy.spatial import cKDTree
+        tree = cKDTree(target[:, [0, 2]])
+        d, idx = tree.query(band[:, [0, 2]],
+                            distance_upper_bound=max(radius * 10, 0.2))
+        ok = np.isfinite(d)
+        if not ok.any():
+            break
+        offset = float(np.mean(target[idx[ok], 1] - band[ok, 1]))
+        v[:, 1] += offset
+        if abs(offset) < 1e-4:
+            break
+    log.info("phase7: ground matched (total shift %.4f)",
+             float(v[:, 1].mean() - verts[:, 1].mean()))
+    return v
 
 
 def normalize_cloud(pts: jnp.ndarray) -> jnp.ndarray:
