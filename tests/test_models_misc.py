@@ -117,3 +117,38 @@ class TestWeightConversion:
         bad = {"params": {"enc": {"fc": {
             "kernel": np.zeros((4, 9)), "bias": np.zeros(8)}}}}
         assert len(verify_tree_shapes(tree, bad)) == 1
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self, rng):
+        from regen3d_tpu.models.vae import AutoencoderKL, VAEConfig
+        cfg = VAEConfig.tiny()
+        model = AutoencoderKL(cfg)
+        img = jnp.asarray(rng.uniform(-1, 1, size=(1, 32, 32, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), img)
+        z = model.apply(params, img, method=AutoencoderKL.encode)
+        assert z.shape == (1, 16, 16, cfg.latent_channels)  # 2x down (tiny)
+        out = model.apply(params, z, method=AutoencoderKL.decode)
+        assert out.shape == (1, 32, 32, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestUpscalePipeline:
+    def test_weightless_fallback_and_artifacts(self, rng, tmp_path):
+        import os
+        from regen3d_tpu.artifacts import Artifacts
+        from regen3d_tpu.config import default_config
+        from regen3d_tpu.pipeline.upscale import run, square_pad
+        from regen3d_tpu.utils.image import save_image
+        assert square_pad(np.zeros((10, 20, 3), np.uint8)).shape == (20, 20, 3)
+        cfg = default_config(str(tmp_path / "output"))
+        art = Artifacts(cfg)
+        os.makedirs(art.findings_cropped, exist_ok=True)
+        save_image(os.path.join(art.findings_cropped, "chair__(5, 5).png"),
+                   rng.integers(0, 255, size=(40, 30, 3)).astype(np.uint8))
+        n = run(cfg)
+        assert n == 1
+        from PIL import Image
+        out = Image.open(os.path.join(art.findings, "upscaled", "cropped",
+                                      "chair__(5, 5).png"))
+        assert out.size == (512, 512)
