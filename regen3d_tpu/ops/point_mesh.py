@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -121,6 +122,7 @@ def points_to_mesh_distance(
 
     p_b = points[:, None, :]  # (P, 1, 3)
 
+    @jax.checkpoint
     def body(carry, inp):
         best_d, best_i = carry
         if mask_c is None:
@@ -185,6 +187,7 @@ def point_mesh_face_distance(
     p_c = p.reshape(num_chunks, pchunk, 3)
     pm_c = None if pmask is None else pmask.reshape(num_chunks, pchunk)
 
+    @jax.checkpoint
     def body(best, inp):
         if pm_c is None:
             pc = inp

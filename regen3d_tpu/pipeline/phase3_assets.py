@@ -195,10 +195,18 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
                     "(geometry will be uninformative until weights load)")
         generator = AssetGenerator.random_init(key, tiny=True)
 
-    num_steps = int(cfg.get("num_inf_steps_hy", 50))
-    guidance = float(cfg.get("guidance_scale", 5.0))
-    resolution = int(cfg.get("octree_resolution_hy", 256))
-    chunk = int(cfg.get("num_chunks_hy", 16000))
+    if bool(cfg.get("use_hunyuan21", False)):
+        # Hunyuan3D-2.1 variant knobs (reference: run_hunyuan21.py:49-129,
+        # config.yaml:176-192) — same generator, different sampling budget
+        num_steps = int(cfg.get("steps_hy21", 30))
+        guidance = float(cfg.get("guidance_scale_hy21", 5.0))
+        resolution = int(cfg.get("octree_resolution_hy21", 256))
+        chunk = int(cfg.get("num_chunks_hy21", 8000))
+    else:
+        num_steps = int(cfg.get("num_inf_steps_hy", 50))
+        guidance = float(cfg.get("guidance_scale", 5.0))
+        resolution = int(cfg.get("octree_resolution_hy", 256))
+        chunk = int(cfg.get("num_chunks_hy", 16000))
     # chunk is "queries per decode batch" — round to a TPU-friendly size
     chunk = max(1024, 1 << (chunk - 1).bit_length() >> 1)
     target_faces = (int(cfg.get("remesh_target_num_faces", 50000))
