@@ -134,7 +134,7 @@ def main():
     def make_cfg(res_hw, tile, k):
         return FitConfig(image_hw=res_hw, sigma=1e-5, max_iterations=SEG,
                          early_stop_min_iters=SEG,  # full budget (perf run)
-                         learning_rate=0.005, face_chunk=256, point_chunk=512,
+                         learning_rate=0.005, face_chunk=256, point_chunk=2048,
                          record_history=False, use_edge_raster=True,
                          bin_tile=tile, faces_per_tile=k, bin_margin_px=48.0)
 

@@ -169,6 +169,15 @@ def vertex_colors_from_image(verts: np.ndarray, faces: np.ndarray,
     rgb = image[..., :3].astype(np.float32)
     if rgb.max() > 1.001:
         rgb = rgb / 255.0
+    # vertex-resolution baking doesn't benefit from views beyond ~256px
+    if max(rgb.shape[:2]) > 256:
+        import jax.image as jimage
+        import jax.numpy as jnp2
+        scale = 256 / max(rgb.shape[:2])
+        nh = int(rgb.shape[0] * scale)
+        nw = int(rgb.shape[1] * scale)
+        rgb = np.asarray(jimage.resize(jnp2.asarray(rgb), (nh, nw, 3),
+                                       "bilinear"))
     center = verts.mean(0)
     extent = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 1e-6
     cam = lookat_camera(center + np.asarray([0, 0, -2.2 * extent], np.float32),
