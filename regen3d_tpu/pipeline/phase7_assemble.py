@@ -212,9 +212,31 @@ def align_and_export(cfg: Config) -> Dict[str, float]:
         pred_n = res.aligned
         stats = {"icp_rmse": float(res.rmse), "icp_iters": int(res.num_iters)}
         log.info("phase7: ICP rmse=%.5f after %d iters", res.rmse, res.num_iters)
+        # persist the similarity for replay onto GLBs (apply_similarity_to_glb)
+        np.savez(os.path.join(os.path.dirname(art.pred_points_ply),
+                              "icp_transform.npz"),
+                 R=np.asarray(res.R), t=np.asarray(res.t), s=np.asarray(res.s),
+                 rmse=np.asarray(res.rmse))
     save_ply(art.pred_points_ply, np.asarray(pred_n))
     save_ply(art.gt_points_ply, np.asarray(gt_n))
     return stats
+
+
+def apply_similarity_to_glb(glb_path: str, R: np.ndarray, t: np.ndarray,
+                            s: float, out_path: Optional[str] = None) -> str:
+    """Apply a stored ICP similarity to a GLB in place (reference:
+    apply_icp_results_to_glb, global_utils.py:756-813). Row convention:
+    v' = (v @ R)·s + t."""
+    scene = load_glb(glb_path)
+    out = SceneData()
+    for m in scene.meshes:
+        md = MeshData(**{**m.__dict__})
+        md.vertices = ((m.vertices @ np.asarray(R)) * float(s)
+                       + np.asarray(t)).astype(np.float32)
+        out.meshes.append(md)
+    dst = out_path or glb_path
+    save_glb(dst, out)
+    return dst
 
 
 def run(cfg: Config) -> Dict[str, float]:
