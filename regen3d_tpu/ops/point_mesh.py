@@ -148,6 +148,62 @@ def points_to_mesh_distance(
     return d, i
 
 
+def point_mesh_face_distance_topk(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    points: jnp.ndarray,
+    points_mask: Optional[jnp.ndarray] = None,
+    faces_mask: Optional[jnp.ndarray] = None,
+    k: int = 16,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """Candidate-pruned point↔mesh loss: exact point-triangle distance on the
+    k nearest faces (by centroid, MXU KNN) instead of all faces.
+
+    On decimated fit meshes the nearest triangle is essentially always among
+    the k=16 nearest centroids (equality with the exact loss is asserted in
+    tests at 1e-6 on random meshes), at O(P·k) exact work instead of O(P·F)
+    — the MXU does the O(P·F) part as a matmul. Same symmetric structure as
+    :func:`point_mesh_face_distance`.
+    """
+    from regen3d_tpu.ops.knn import knn_points
+
+    tri = verts[faces]                       # (F, 3, 3)
+    centroids = jnp.mean(tri, axis=1)        # (F, 3)
+    f = tri.shape[0]
+    k = min(k, f)
+
+    # --- point → face -----------------------------------------------------------
+    _, idx = knn_points(points, centroids, k, y_mask=faces_mask, chunk=chunk)
+    cand = tri[idx]                          # (P, k, 3, 3)
+    d = point_triangle_distance(points[:, None, :], cand[:, :, 0],
+                                cand[:, :, 1], cand[:, :, 2])   # (P, k)
+    if faces_mask is not None:
+        d = jnp.where(faces_mask[idx], d, _BIG)
+    d_pf = jnp.min(d, axis=1)
+    if points_mask is not None:
+        d_pf = jnp.where(points_mask, d_pf, 0.0)
+        term_pf = jnp.sum(d_pf) / jnp.maximum(jnp.sum(points_mask), 1)
+    else:
+        term_pf = jnp.mean(d_pf)
+
+    # --- face → point -----------------------------------------------------------
+    kp = min(k, points.shape[0])
+    _, pidx = knn_points(centroids, points, kp, y_mask=points_mask, chunk=chunk)
+    cand_p = points[pidx]                    # (F, kp, 3)
+    d2 = point_triangle_distance(cand_p, tri[:, None, 0], tri[:, None, 1],
+                                 tri[:, None, 2])               # (F, kp)
+    if points_mask is not None:
+        d2 = jnp.where(points_mask[pidx], d2, _BIG)
+    d_fp = jnp.min(d2, axis=1)
+    if faces_mask is not None:
+        d_fp = jnp.where(faces_mask, d_fp, 0.0)
+        term_fp = jnp.sum(d_fp) / jnp.maximum(jnp.sum(faces_mask), 1)
+    else:
+        term_fp = jnp.mean(d_fp)
+    return term_pf + term_fp
+
+
 def point_mesh_face_distance(
     verts: jnp.ndarray,
     faces: jnp.ndarray,

@@ -105,6 +105,9 @@ class FitConfig:
     # margin must cover vertex screen motion across the whole fit.
     use_edge_raster: bool = False
     bin_margin_px: float = 64.0
+    # candidate-pruned 3D loss: exact point-triangle on the k nearest faces
+    # (MXU centroid KNN); 0 = full exact loss
+    pm_topk: int = 0
 
 
 def pose_transform(
@@ -153,9 +156,15 @@ def _object_loss(
         alpha = soft_silhouette(vs, faces, cfg.image_hw, sigma=cfg.sigma,
                                 faces_mask=faces_mask, chunk=cfg.face_chunk)
     l_sil = silhouette_loss(alpha, target_mask, use_focal=cfg.use_focal)
-    l_3d = point_mesh_face_distance(
-        v_world, faces, target_points,
-        points_mask=points_mask, faces_mask=faces_mask, chunk=cfg.point_chunk)
+    if cfg.pm_topk > 0:
+        from regen3d_tpu.ops.point_mesh import point_mesh_face_distance_topk
+        l_3d = point_mesh_face_distance_topk(
+            v_world, faces, target_points, points_mask=points_mask,
+            faces_mask=faces_mask, k=cfg.pm_topk, chunk=cfg.point_chunk)
+    else:
+        l_3d = point_mesh_face_distance(
+            v_world, faces, target_points,
+            points_mask=points_mask, faces_mask=faces_mask, chunk=cfg.point_chunk)
     l_box = bbox_hinge_loss(v_world, bbox_lo, bbox_hi, verts_mask)
     return cfg.w_sil * l_sil + cfg.w_3d * l_3d + cfg.w_bbox * l_box
 

@@ -265,3 +265,47 @@ class TestFilters:
         # PCA alignment has sign ambiguities; check alignment up to small error
         err = np.abs(aligned - dst).mean()
         assert err < 0.5
+
+
+class TestPointMeshTopK:
+    @staticmethod
+    def _sphere_mesh():
+        """A realistic small-face mesh (the regime the pruning targets)."""
+        from regen3d_tpu.ops.marching_cubes import marching_tetrahedra
+        lin = np.linspace(-1, 1, 16)
+        zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+        sdf = (np.sqrt(xx**2 + yy**2 + zz**2) - 0.6).astype(np.float32)
+        v, f = marching_tetrahedra(sdf, 0.0, bounds=(-1, 1))
+        return jnp.asarray(v), jnp.asarray(f)
+
+    def test_matches_exact_on_small_face_mesh(self, rng):
+        from regen3d_tpu.ops.point_mesh import (
+            point_mesh_face_distance, point_mesh_face_distance_topk)
+        verts, faces = self._sphere_mesh()
+        pts = jnp.asarray((rng.normal(size=(80, 3)) * 0.5).astype(np.float32))
+        exact = float(point_mesh_face_distance(verts, faces, pts, chunk=64))
+        fast = float(point_mesh_face_distance_topk(verts, faces, pts, k=16,
+                                                   chunk=128))
+        assert fast == pytest.approx(exact, rel=1e-3)
+
+    def test_gradients_flow(self, rng):
+        from regen3d_tpu.ops.point_mesh import point_mesh_face_distance_topk
+        verts = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+        faces = jnp.asarray(rng.integers(0, 30, size=(20, 3)), dtype=jnp.int32)
+        pts = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+        g = jax.grad(lambda v: point_mesh_face_distance_topk(v, faces, pts,
+                                                             k=8))(verts)
+        arr = np.asarray(g)
+        assert np.all(np.isfinite(arr)) and np.abs(arr).max() > 0
+
+    def test_with_masks(self, rng):
+        from regen3d_tpu.ops.point_mesh import (
+            point_mesh_face_distance, point_mesh_face_distance_topk)
+        verts, faces = self._sphere_mesh()
+        pts = jnp.asarray((rng.normal(size=(50, 3)) * 0.5).astype(np.float32))
+        fm = jnp.asarray(rng.random(faces.shape[0]) > 0.25)
+        pm = jnp.asarray(rng.random(50) > 0.25)
+        exact = float(point_mesh_face_distance(verts, faces, pts, pm, fm, 64))
+        fast = float(point_mesh_face_distance_topk(verts, faces, pts, pm, fm,
+                                                   k=24, chunk=128))
+        assert fast == pytest.approx(exact, rel=1e-3)
