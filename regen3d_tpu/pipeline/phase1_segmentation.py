@@ -181,4 +181,9 @@ def run(cfg: Config, sam=None, sam_params=None,
         depth_mod.run(cfg)
     except Exception:
         log.exception("phase1: depth estimation failed (non-fatal)")
+    # non-banana path: diffusion-upscale the crops for phase 3
+    # (reference: segmentation.py:1208-1252, mp.Pool of Upscaler workers)
+    if not bool(cfg.get("use_banana", True)):
+        from regen3d_tpu.pipeline import upscale
+        upscale.run(cfg)
     return stems

@@ -81,6 +81,21 @@ def _load_scene_for_render(paths: List[str]):
     return allv, allf, alln, allc
 
 
+def tone_map(img: np.ndarray, exposure: float = 0.4, gamma: float = 0.8,
+             view_transform: str = "Filmic") -> np.ndarray:
+    """Color management (reference: set_color_management,
+    blender_rendering/run.py:376-384 — Filmic + exposure/gamma keys).
+
+    Filmic approximated by the Hejl/Burgess-style filmic curve; 'Standard'
+    passes through. Input/output in [0, 1]."""
+    x = np.clip(img, 0.0, 1.0) * (2.0 ** exposure)
+    if view_transform.lower() == "filmic":
+        x = np.maximum(x - 0.004, 0.0)
+        x = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
+    out = np.clip(x, 0.0, 1.0) ** (1.0 / max(gamma, 1e-3))
+    return np.clip(out, 0.0, 1.0)
+
+
 def render_view(cam: Camera, verts, faces, normals, colors,
                 background: float = 1.0, chunk: int = 512) -> np.ndarray:
     """One software-rendered frame (H, W, 3) in [0, 1]."""
@@ -122,7 +137,12 @@ def run(cfg: Config) -> List[str]:
     w = int(round(cam1.image_size[1] * res / cam1.image_size[0]))
     cam1 = cam1.rescaled(h, w)
 
+    exposure = float(cfg.get("exposure", 0.4))
+    gamma = float(cfg.get("gamma", 0.8))
+    view_tf = str(cfg.get("view_transform", "Filmic"))
+
     img1, hit1 = render_view(cam1, verts, faces, normals, colors)
+    img1 = tone_map(img1, exposure, gamma, view_tf)
     save_image(os.path.join(art.rendering_dir, "render_cam1.png"), img1)
     white = img1.copy()
     white[~hit1] = 1.0
@@ -134,7 +154,8 @@ def run(cfg: Config) -> List[str]:
     eye = center + np.asarray([0.3 * extent, 1.2 * extent, -0.3 * extent])
     cam2 = lookat_camera(eye, center, (res, res), focal_px=res * 1.0)
     img2, _ = render_view(cam2, verts, faces, normals, colors)
-    save_image(os.path.join(art.rendering_dir, "render_cam2.png"), img2)
+    save_image(os.path.join(art.rendering_dir, "render_cam2.png"),
+               tone_map(img2, exposure, gamma, view_tf))
 
     out = [os.path.join(art.rendering_dir, n) for n in
            ("render_cam1.png", "render_cam1_white_bg.png", "render_cam2.png")]
