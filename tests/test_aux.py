@@ -73,3 +73,35 @@ class TestFleet:
         assert all(r.ok for r in res)
         import os
         assert os.path.isdir(str(tmp_path / "s1" / "output" / "findings"))
+
+
+class TestOrchestratorCLI:
+    def test_run_phases_via_cli_surface(self, tmp_path, rng):
+        """The reference CLI contract: --config YAML + -p phase list."""
+        import os
+        import yaml
+        from regen3d_tpu.orchestrator import main
+        from regen3d_tpu.utils.image import save_image
+
+        img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+        src = tmp_path / "src"
+        src.mkdir()
+        save_image(str(tmp_path / "in.png"), img)
+        cfg_path = str(src / "config.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({
+                "output": str(tmp_path / "output"),
+                "input_image": str(tmp_path / "in.png"),
+            }, f)
+        main(["-p", "1", "--config", cfg_path])
+        assert os.path.isdir(str(tmp_path / "output" / "findings" / "fullSize"))
+
+    def test_unknown_phase_rejected(self, tmp_path):
+        import pytest as _pytest
+        import yaml
+        from regen3d_tpu.orchestrator import main
+        cfg_path = str(tmp_path / "c.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump({"output": str(tmp_path / "out")}, f)
+        with _pytest.raises(ValueError):
+            main(["-p", "42", "--config", cfg_path])
