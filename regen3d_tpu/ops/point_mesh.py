@@ -12,6 +12,8 @@ whole thing vectorizes onto the VPU and differentiates cleanly.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional, Tuple
 
 import jax
@@ -146,6 +148,130 @@ def points_to_mesh_distance(
     if points_mask is not None:
         d = jnp.where(points_mask, d, 0.0)
     return d, i
+
+
+def _face_to_point_min(tri, points, points_mask, faces_mask, chunk):
+    """(min sqdist (F,), argmin point idx (F,)) — face→point term primals."""
+    n_p = points.shape[0]
+    pchunk = min(chunk, n_p)
+    pad = (-n_p) % pchunk
+    p = points
+    if pad:
+        p = jnp.concatenate([p, jnp.zeros((pad, 3), p.dtype)], axis=0)
+        pm = jnp.ones(n_p, bool) if points_mask is None else points_mask
+        pmask = jnp.concatenate([pm, jnp.zeros(pad, bool)], axis=0)
+    else:
+        pmask = points_mask
+    num_chunks = p.shape[0] // pchunk
+    p_c = p.reshape(num_chunks, pchunk, 3)
+    pm_c = None if pmask is None else pmask.reshape(num_chunks, pchunk)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        if pm_c is None:
+            pc, ci = inp
+            mk = None
+        else:
+            pc, mk, ci = inp
+        d = point_triangle_distance(
+            pc[None, :, :], tri[:, None, 0], tri[:, None, 1], tri[:, None, 2])
+        if mk is not None:
+            d = jnp.where(mk[None, :], d, _BIG)
+        dmin = jnp.min(d, axis=1)
+        imin = jnp.argmin(d, axis=1).astype(jnp.int32) + ci * pchunk
+        take = dmin < best_d
+        return (jnp.where(take, dmin, best_d),
+                jnp.where(take, imin, best_i)), None
+
+    init = (jnp.full((tri.shape[0],), _BIG, jnp.float32),
+            jnp.zeros((tri.shape[0],), jnp.int32))
+    cidx = jnp.arange(num_chunks, dtype=jnp.int32)
+    xs = (p_c, cidx) if pm_c is None else (p_c, pm_c, cidx)
+    (d, i), _ = lax.scan(body, init, xs)
+    return d, i
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def point_mesh_face_distance_fast(
+    verts: jnp.ndarray,
+    faces: jnp.ndarray,
+    points: jnp.ndarray,
+    points_mask: Optional[jnp.ndarray] = None,
+    faces_mask: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Exact :func:`point_mesh_face_distance` with an argmin-pair backward.
+
+    The O(P·F) forward runs WITHOUT autodiff residuals; the backward
+    recomputes the distance gradient only on the matched (point, face)
+    pairs — O(P+F) work — exactly like the chamfer custom VJP. Gradients
+    equal the autodiff ones almost everywhere (argmin is locally constant).
+    """
+    loss, _res = _pmfd_fwd_impl(verts, faces, points, points_mask,
+                                faces_mask, chunk)
+    return loss
+
+
+def _pmfd_fwd_impl(verts, faces, points, points_mask, faces_mask, chunk):
+    d_pf, idx_pf = points_to_mesh_distance(points, verts, faces, points_mask,
+                                           faces_mask, chunk)
+    tri = verts[faces]
+    d_fp, idx_fp = _face_to_point_min(tri, points, points_mask, faces_mask,
+                                      chunk)
+    n_pts = (points.shape[0] if points_mask is None
+             else jnp.maximum(jnp.sum(points_mask), 1))
+    if faces_mask is not None:
+        d_fp = jnp.where(faces_mask, d_fp, 0.0)
+        n_f = jnp.maximum(jnp.sum(faces_mask), 1)
+    else:
+        n_f = faces.shape[0]
+    loss = jnp.sum(d_pf) / n_pts + jnp.sum(d_fp) / n_f
+    return loss, (idx_pf, idx_fp, n_pts, n_f)
+
+
+def _pmfd_vjp_fwd(verts, faces, points, points_mask, faces_mask, chunk):
+    loss, (idx_pf, idx_fp, n_pts, n_f) = _pmfd_fwd_impl(
+        verts, faces, points, points_mask, faces_mask, chunk)
+    return loss, (verts, faces, points, points_mask, faces_mask,
+                  idx_pf, idx_fp, n_pts, n_f)
+
+
+def _pmfd_vjp_bwd(chunk, res, g):
+    verts, faces, points, points_mask, faces_mask, idx_pf, idx_fp, \
+        n_pts, n_f = res
+
+    # point→face pairs: (P,) points vs their matched triangles
+    tri_pf = verts[faces[idx_pf]]                       # (P, 3, 3)
+
+    def pf_dist(p, t):
+        return point_triangle_distance(p, t[:, 0], t[:, 1], t[:, 2])
+
+    w_pf = (jnp.ones(points.shape[0], jnp.float32) if points_mask is None
+            else points_mask.astype(jnp.float32)) * (g / n_pts)
+    _, pf_vjp = jax.vjp(pf_dist, points, tri_pf)
+    g_points, g_tri_pf = pf_vjp(w_pf)
+
+    # face→point pairs: (F,) triangles vs their matched points
+    tri = verts[faces]
+    pts_fp = points[idx_fp]                             # (F, 3)
+
+    def fp_dist(t, p):
+        return point_triangle_distance(p, t[:, 0], t[:, 1], t[:, 2])
+
+    w_fp = (jnp.ones(faces.shape[0], jnp.float32) if faces_mask is None
+            else faces_mask.astype(jnp.float32)) * (g / n_f)
+    _, fp_vjp = jax.vjp(fp_dist, tri, pts_fp)
+    g_tri_fp, g_pts_fp = fp_vjp(w_fp)
+
+    # scatter triangle grads back to vertices
+    g_verts = jnp.zeros_like(verts)
+    g_verts = g_verts.at[faces[idx_pf]].add(g_tri_pf)
+    g_verts = g_verts.at[faces].add(g_tri_fp)
+    g_points = g_points.at[idx_fp].add(g_pts_fp)
+    return g_verts, None, g_points, None, None
+
+
+point_mesh_face_distance_fast.defvjp(_pmfd_vjp_fwd, _pmfd_vjp_bwd)
 
 
 def point_mesh_face_distance_topk(

@@ -162,9 +162,11 @@ def _object_loss(
             v_world, faces, target_points, points_mask=points_mask,
             faces_mask=faces_mask, k=cfg.pm_topk, chunk=cfg.point_chunk)
     else:
-        l_3d = point_mesh_face_distance(
-            v_world, faces, target_points,
-            points_mask=points_mask, faces_mask=faces_mask, chunk=cfg.point_chunk)
+        # exact loss with the argmin-pair custom VJP (no scan residuals)
+        from regen3d_tpu.ops.point_mesh import point_mesh_face_distance_fast
+        l_3d = point_mesh_face_distance_fast(
+            v_world, faces, target_points, points_mask, faces_mask,
+            cfg.point_chunk)
     l_box = bbox_hinge_loss(v_world, bbox_lo, bbox_hi, verts_mask)
     return cfg.w_sil * l_sil + cfg.w_3d * l_3d + cfg.w_bbox * l_box
 

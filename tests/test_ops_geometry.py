@@ -309,3 +309,42 @@ class TestPointMeshTopK:
         fast = float(point_mesh_face_distance_topk(verts, faces, pts, pm, fm,
                                                    k=24, chunk=128))
         assert fast == pytest.approx(exact, rel=1e-3)
+
+
+class TestPointMeshFast:
+    def test_value_and_grad_match_exact(self, rng):
+        from regen3d_tpu.ops.point_mesh import (
+            point_mesh_face_distance, point_mesh_face_distance_fast)
+        verts = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+        faces = jnp.asarray(rng.integers(0, 30, size=(20, 3)), dtype=jnp.int32)
+        pts = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+        exact = float(point_mesh_face_distance(verts, faces, pts, chunk=16))
+        fast = float(point_mesh_face_distance_fast(verts, faces, pts,
+                                                   None, None, 16))
+        assert fast == pytest.approx(exact, rel=1e-5)
+        g_ex = jax.grad(lambda v, p: point_mesh_face_distance(
+            v, faces, p, chunk=16), argnums=(0, 1))(verts, pts)
+        g_fa = jax.grad(lambda v, p: point_mesh_face_distance_fast(
+            v, faces, p, None, None, 16), argnums=(0, 1))(verts, pts)
+        np.testing.assert_allclose(np.asarray(g_fa[0]), np.asarray(g_ex[0]),
+                                   atol=1e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g_fa[1]), np.asarray(g_ex[1]),
+                                   atol=1e-5, rtol=1e-3)
+
+    def test_with_masks(self, rng):
+        from regen3d_tpu.ops.point_mesh import (
+            point_mesh_face_distance, point_mesh_face_distance_fast)
+        verts = jnp.asarray(rng.normal(size=(24, 3)).astype(np.float32))
+        faces = jnp.asarray(rng.integers(0, 24, size=(16, 3)), dtype=jnp.int32)
+        pts = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+        fm = jnp.asarray(rng.random(16) > 0.3)
+        pm = jnp.asarray(rng.random(32) > 0.3)
+        exact = float(point_mesh_face_distance(verts, faces, pts, pm, fm, 8))
+        fast = float(point_mesh_face_distance_fast(verts, faces, pts, pm, fm, 8))
+        assert fast == pytest.approx(exact, rel=1e-5)
+        g_ex = jax.grad(lambda v: point_mesh_face_distance(
+            v, faces, pts, pm, fm, 8))(verts)
+        g_fa = jax.grad(lambda v: point_mesh_face_distance_fast(
+            v, faces, pts, pm, fm, 8))(verts)
+        np.testing.assert_allclose(np.asarray(g_fa), np.asarray(g_ex),
+                                   atol=1e-5, rtol=1e-3)
