@@ -126,3 +126,52 @@ class TestArtifacts:
         assert cfg["use_5DOF"] is True
         assert cfg["sigma"] == pytest.approx(5e-7)
         assert cfg.path("output").endswith("/reference/output")
+
+
+class TestGlbNodeTransforms:
+    def test_node_trs_applied_on_load(self, tmp_path):
+        """A GLB whose node carries a TRS transform loads with world-space
+        vertices (the reference's assets use node transforms)."""
+        import json
+        import struct
+        v, f = _cube()
+        # build a minimal GLB by hand with a translated+scaled node
+        vbytes = v.astype("<f4").tobytes()
+        ibytes = f.astype("<u4").tobytes()
+        binchunk = vbytes + ibytes
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0, "translation": [1, 2, 3],
+                       "scale": [2, 2, 2], "name": "obj"}],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0}, "indices": 1, "mode": 4}]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 8,
+                 "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5125,
+                 "count": int(f.size), "type": "SCALAR"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": len(vbytes)},
+                {"buffer": 0, "byteOffset": len(vbytes),
+                 "byteLength": len(ibytes)},
+            ],
+            "buffers": [{"byteLength": len(binchunk)}],
+        }
+        jbytes = json.dumps(gltf).encode()
+        jbytes += b" " * ((4 - len(jbytes) % 4) % 4)
+        binchunk += b"\x00" * ((4 - len(binchunk) % 4) % 4)
+        total = 12 + 8 + len(jbytes) + 8 + len(binchunk)
+        p = str(tmp_path / "trs.glb")
+        with open(p, "wb") as fh:
+            fh.write(struct.pack("<III", 0x46546C67, 2, total))
+            fh.write(struct.pack("<II", len(jbytes), 0x4E4F534A))
+            fh.write(jbytes)
+            fh.write(struct.pack("<II", len(binchunk), 0x004E4942))
+            fh.write(binchunk)
+        scene = load_glb(p)
+        assert len(scene.meshes) == 1
+        np.testing.assert_allclose(scene.meshes[0].vertices,
+                                   v * 2.0 + [1, 2, 3], atol=1e-5)
