@@ -108,8 +108,13 @@ def decode_grid(
     """Evaluate the SDF over a dense grid in fixed-size chunks
     (the reference's num_chunks batching, as a jitted lax.map).
 
-    latents: (1, L, D) → (R, R, R) SDF volume (z, y, x order).
+    latents: (B, L, D) → (B, R, R, R) SDF volumes (z, y, x order); a
+    singleton batch returns (R, R, R). All B objects share each grid chunk
+    (the batch rides the MXU, replacing the reference's process-per-object
+    fan-out — 2d_to_3d_models/run.py:108-194).
     """
+    squeeze = latents.shape[0] == 1
+    b = latents.shape[0]
     grid = make_grid(resolution, bounds)
     n = grid.shape[0]
     pad = (-n) % chunk
@@ -118,7 +123,10 @@ def decode_grid(
     chunks = grid.reshape(-1, chunk, 3)
 
     def eval_chunk(pts):
-        return decoder.apply(params, latents, pts[None])[0]
+        q = jnp.broadcast_to(pts[None], (b, chunk, 3))
+        return decoder.apply(params, latents, q)          # (B, chunk)
 
-    sdf = jax.lax.map(eval_chunk, chunks).reshape(-1)[:n]
-    return sdf.reshape(resolution, resolution, resolution)
+    sdf = jax.lax.map(eval_chunk, chunks)                 # (C, B, chunk)
+    sdf = jnp.moveaxis(sdf, 1, 0).reshape(b, -1)[:, :n]
+    vols = sdf.reshape(b, resolution, resolution, resolution)
+    return vols[0] if squeeze else vols
