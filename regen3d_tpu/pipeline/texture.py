@@ -27,6 +27,135 @@ from regen3d_tpu.utils.meshproc import vertex_normals
 log = logging.getLogger(__name__)
 
 
+def bake_point_colors(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    occluder: Tuple[np.ndarray, np.ndarray],
+    views: Sequence[Tuple[Camera, np.ndarray]],
+    depth_eps: float = 5e-3,
+    chunk: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Core baker: blend view images onto arbitrary surface samples.
+
+    positions/normals: (N, 3); occluder: the (verts, faces) mesh used for
+    the visibility z-test. Returns (colors (N, 3), coverage (N,))."""
+    v = jnp.asarray(occluder[0], jnp.float32)
+    f = jnp.asarray(occluder[1], jnp.int32)
+    pos = jnp.asarray(positions, jnp.float32)
+    nrm = jnp.asarray(normals, jnp.float32)
+
+    acc = jnp.zeros((len(positions), 3), jnp.float32)
+    wsum = jnp.zeros((len(positions), 1), jnp.float32)
+
+    @jax.jit
+    def one_view(acc, wsum, img, cam_R, cam_T, cam_f, cam_p):
+        cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
+                     image_size=img.shape[:2])
+        vs = cam.view_to_screen(cam.world_to_view(v))
+        frag = rasterize_hard(vs, f, img.shape[:2], chunk=chunk)
+        uv, z = cam.project(pos)
+        h, w = img.shape[:2]
+        xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+        zbuf = frag.depth[yi, xi]
+        visible = (z > 0) & (z <= zbuf * (1 + depth_eps) + depth_eps)
+        inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        to_cam = cam.center - pos
+        to_cam = to_cam / jnp.maximum(
+            jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9)
+        facing = jnp.abs(jnp.sum(nrm * to_cam, axis=-1))
+        wgt = jnp.where(visible & inb, facing, 0.0)[:, None]
+        return acc + wgt * img[yi, xi], wsum + wgt
+
+    for cam, img in views:
+        acc, wsum = one_view(acc, wsum, jnp.asarray(img, jnp.float32),
+                             cam.R, cam.T, cam.focal, cam.principal)
+    colors = np.array(acc / jnp.maximum(wsum, 1e-9))
+    coverage = np.asarray(wsum)[:, 0]
+    if (coverage > 1e-6).any():
+        colors[coverage <= 1e-6] = colors[coverage > 1e-6].mean(0)
+    return np.clip(colors, 0, 1), coverage
+
+
+def bake_texture_atlas(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    views: Sequence[Tuple[Camera, np.ndarray]],
+    texels_per_face: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bytes]:
+    """Texel-space texture baking with a per-face grid atlas.
+
+    Every face gets a (texels+2)² atlas cell (1-texel gutter); texel world
+    positions come from barycentric interpolation, colors from
+    :func:`bake_point_colors`. Returns a NEW mesh with per-corner UVs
+    (vertices duplicated per face, the standard auto-atlas layout):
+    (verts' (3F, 3), faces' (F, 3), uvs (3F, 2), texture PNG bytes).
+
+    This is the texel-space half of the reference's Hunyuan3DPaintPipeline
+    baking (its CUDA custom_rasterizer role — SURVEY §2.10); the multiview
+    image generator plugs into `views`.
+    """
+    import io
+    from PIL import Image
+    from regen3d_tpu.utils.meshproc import vertex_normals  # noqa: F401
+
+    F = len(faces)
+    T = texels_per_face
+    cell = T + 2
+    G = int(np.ceil(np.sqrt(F)))
+    atlas_px = G * cell
+
+    tri = verts[faces]                                   # (F, 3, 3)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    fn = np.cross(e1, e2)
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+
+    # texel barycentric lattice covering the lower-left triangle of each cell
+    us = (np.arange(T) + 0.5) / T
+    uu, vv = np.meshgrid(us, us)
+    w1 = uu.ravel()
+    w2 = vv.ravel()
+    inside = w1 + w2 <= 1.0 + 1e-6
+    # fold outside texels back onto the triangle (fills the gutter side)
+    w1f = np.where(inside, w1, 1.0 - w1)
+    w2f = np.where(inside, w2, 1.0 - w2)
+    w0f = 1.0 - w1f - w2f
+    bary = np.stack([w0f, w1f, w2f], -1).astype(np.float32)   # (T², 3)
+
+    positions = np.einsum("ftk,fkd->ftd", np.tile(bary[None], (F, 1, 1)), tri)
+    positions = positions.reshape(-1, 3)
+    normals = np.repeat(fn, T * T, axis=0)
+    colors, _cov = bake_point_colors(positions, normals, (verts, faces), views)
+    colors = colors.reshape(F, T, T, 3)
+
+    atlas = np.zeros((atlas_px, atlas_px, 3), np.float32)
+    for fi in range(F):
+        cy, cx = divmod(fi, G)
+        y0 = cy * cell + 1
+        x0 = cx * cell + 1
+        atlas[y0:y0 + T, x0:x0 + T] = colors[fi]
+    # simple gutter fill: replicate edges
+    img = Image.fromarray((np.clip(atlas, 0, 1) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    # per-corner UVs: triangle corners at the cell's lattice corners
+    new_verts = tri.reshape(-1, 3).astype(np.float32)
+    new_faces = np.arange(3 * F, dtype=np.int32).reshape(F, 3)
+    uvs = np.zeros((F, 3, 2), np.float32)
+    for fi in range(F):
+        cy, cx = divmod(fi, G)
+        x0 = (cx * cell + 1) / atlas_px
+        y0 = (cy * cell + 1) / atlas_px
+        side = T / atlas_px
+        # corner order matches bary (w0 at (0,0), w1 at (1,0), w2 at (0,1))
+        uvs[fi, 0] = (x0, y0)
+        uvs[fi, 1] = (x0 + side, y0)
+        uvs[fi, 2] = (x0, y0 + side)
+    return new_verts, new_faces, uvs.reshape(-1, 2), buf.getvalue()
+
+
 def bake_vertex_colors(
     verts: np.ndarray,
     faces: np.ndarray,

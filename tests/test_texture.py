@@ -44,3 +44,41 @@ class TestBaking:
         rgba = bake_vertex_colors(verts, faces, views)
         # every vertex visible from some orbit view → all near 0.8
         np.testing.assert_allclose(rgba[:, :3], 0.8, atol=0.05)
+
+
+class TestAtlasBaking:
+    def test_atlas_roundtrip_via_glb(self, tmp_path):
+        """Texel atlas bakes a red front view; the textured GLB reloads and
+        front-face texels sample red."""
+        import io
+        from PIL import Image
+        from regen3d_tpu.pipeline.texture import bake_texture_atlas
+        from regen3d_tpu.utils.glb import MeshData, SceneData, load_glb, save_glb
+
+        verts, faces = _box()
+        img = np.zeros((64, 64, 3), np.float32)
+        img[:, :] = (1.0, 0.1, 0.1)
+        cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                     focal=jnp.asarray([64.0, 64.0]),
+                     principal=jnp.asarray([32.0, 32.0]), image_size=(64, 64))
+        nv, nf, uvs, png = bake_texture_atlas(verts, faces, [(cam, img)],
+                                              texels_per_face=4)
+        assert nv.shape == (36, 3) and nf.shape == (12, 3)
+        assert uvs.shape == (36, 2)
+        assert np.all((uvs >= 0) & (uvs <= 1))
+
+        p = str(tmp_path / "tex.glb")
+        save_glb(p, SceneData(meshes=[MeshData(
+            name="t", vertices=nv, faces=nf, uvs=uvs, texture_png=png)]))
+        loaded = load_glb(p)
+        m = loaded.meshes[0]
+        tex = np.asarray(Image.open(io.BytesIO(m.texture_png)).convert("RGB"),
+                         np.float32) / 255.0
+        # sample the texture at the UV of a front-face (z min) corner
+        front_faces = [i for i in range(12)
+                       if verts[faces[i], 2].mean() < 1.9]
+        fi = front_faces[0]
+        uv = m.uvs[m.faces[fi]].mean(0)
+        h, w = tex.shape[:2]
+        texel = tex[int(uv[1] * (h - 1)), int(uv[0] * (w - 1))]
+        assert texel[0] > 0.7 and texel[1] < 0.4  # red-ish
