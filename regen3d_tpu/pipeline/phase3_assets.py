@@ -265,11 +265,29 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
                                 [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
                                 [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]],
                                np.int32)
-        colors = vertex_colors_from_image(verts, faces, img)
         out_path = art.asset_glb(name)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        save_glb(out_path, SceneData(meshes=[MeshData(
-            name=name, vertices=verts, faces=faces, vertex_colors=colors)]))
+        if bool(cfg.get("bake_texture_atlas", False)):
+            # texel-space atlas (Hunyuan3DPaint output contract)
+            from regen3d_tpu.camera import lookat_camera
+            from regen3d_tpu.pipeline.texture import bake_texture_atlas
+            rgb = img[..., :3]
+            center = verts.mean(0)
+            ext = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 1e-6
+            cam = lookat_camera(center + np.asarray([0, 0, -2.2 * ext],
+                                                    np.float32),
+                                center, rgb.shape[:2],
+                                focal_px=rgb.shape[0] * 1.1)
+            nv, nf, uvs, png = bake_texture_atlas(
+                verts, faces, [(cam, rgb)],
+                texels_per_face=int(cfg.get("texels_per_face", 8)))
+            save_glb(out_path, SceneData(meshes=[MeshData(
+                name=name, vertices=nv, faces=nf, uvs=uvs, texture_png=png)]))
+        else:
+            colors = vertex_colors_from_image(verts, faces, img)
+            save_glb(out_path, SceneData(meshes=[MeshData(
+                name=name, vertices=verts, faces=faces,
+                vertex_colors=colors)]))
         done.append(name)
         log.info("phase3: %s → %d verts / %d faces", name, len(verts), len(faces))
     return done
