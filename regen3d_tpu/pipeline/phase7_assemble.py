@@ -39,6 +39,53 @@ from regen3d_tpu.utils.ply import load_ply, save_ply
 log = logging.getLogger(__name__)
 
 
+def extract_intrinsics(cfg: Config, pipeline=None) -> Optional[str]:
+    """Background PBR maps from the empty room (reference:
+    extract_marigold_data, scene_optim.py:68-121 — Marigold intrinsics +
+    normals pipelines writing albedo/roughness/metallic/normal_map.png to
+    `images_marigold_base`).
+
+    ``pipeline`` is the diffusion intrinsics model (models/unet.py family;
+    weights pending). Without it, analytic priors keep the artifact set
+    flowing: albedo = the image, screen-space normals from the depth prior,
+    constant roughness/metallic from the config's scene defaults.
+    """
+    art = Artifacts(cfg)
+    src = art.empty_room
+    if not os.path.exists(src):
+        log.warning("phase7: no empty_room.png — skipping intrinsics")
+        return None
+    from regen3d_tpu.utils.image import load_image_rgb, save_image
+
+    base = cfg.path("images_marigold_base",
+                    "../output/findings/scene_marigold/")
+    os.makedirs(base, exist_ok=True)
+    img = load_image_rgb(src, max_side=None)
+
+    if pipeline is not None:
+        maps = pipeline(img)  # {'albedo','roughness','metallicity','normal'}
+    else:
+        from regen3d_tpu.pipeline.depth import estimate_depth
+        depth = estimate_depth(img)
+        gy, gx = np.gradient(depth.astype(np.float32))
+        n = np.stack([-gx * 8.0, -gy * 8.0, np.ones_like(depth)], -1)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        maps = {
+            "albedo": img,
+            "roughness": np.full(img.shape[:2],
+                                 float(cfg.get("roughness", 0.5)), np.float32),
+            "metallicity": np.full(img.shape[:2],
+                                   float(cfg.get("metallic", 0.2)), np.float32),
+            "normal": (n * 0.5 + 0.5),
+        }
+    save_image(os.path.join(base, "albedo_map.png"), maps["albedo"])
+    save_image(os.path.join(base, "roughness_map.png"), maps["roughness"])
+    save_image(os.path.join(base, "metallic_map.png"), maps["metallicity"])
+    save_image(os.path.join(base, "normal_map.png"), maps["normal"])
+    log.info("phase7: intrinsics maps → %s", base)
+    return base
+
+
 def combine_scene_glb(cfg: Config) -> Optional[str]:
     """Merge output/glb/*.glb into combined_scene.glb with material policy
     (reference: create_glb_scene, global_utils.py:506-601)."""
@@ -240,6 +287,7 @@ def apply_similarity_to_glb(glb_path: str, R: np.ndarray, t: np.ndarray,
 
 
 def run(cfg: Config) -> Dict[str, float]:
+    extract_intrinsics(cfg)
     combine_scene_glb(cfg)
     backproject_scene_ply(cfg)
     mesh_background(cfg)
