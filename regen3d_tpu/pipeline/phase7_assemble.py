@@ -177,10 +177,28 @@ def mesh_background(cfg: Config) -> Optional[str]:
         log.warning("phase7: background meshing produced no faces")
         return None
     verts = _match_grounds(cfg, verts)
+    # camera-projected coloring from the empty room (the reference's
+    # `use_baked_image_only` projected-UV material, blender run.py:434-550)
+    vcolors = None
+    if os.path.exists(art.empty_room) and os.path.exists(art.camera_npz):
+        try:
+            from regen3d_tpu.camera import camera_from_npz
+            from regen3d_tpu.pipeline.texture import bake_vertex_colors
+            from regen3d_tpu.utils.image import load_image_rgb
+
+            img = load_image_rgb(art.empty_room, max_side=512).astype(
+                np.float32) / 255.0
+            cam = camera_from_npz(art.camera_npz,
+                                  render_hw=img.shape[:2])
+            vcolors = bake_vertex_colors(verts, faces, [(cam, img)])
+        except Exception:
+            log.exception("phase7: background projection failed (non-fatal)")
     save_glb(art.ground_aligned_glb, SceneData(meshes=[
         MeshData(name="background", vertices=verts, faces=faces,
+                 vertex_colors=vcolors,
                  base_color=np.asarray([0.8, 0.8, 0.8, 1.0]),
-                 metallic=0.0, roughness=0.9)]))
+                 metallic=float(cfg.get("metallic_strength", 0.15)),
+                 roughness=float(cfg.get("roughness_strength", 0.65)))]))
     log.info("phase7: background mesh %d verts / %d faces", len(verts), len(faces))
     return art.ground_aligned_glb
 
