@@ -105,3 +105,31 @@ class TestOrchestratorCLI:
             yaml.safe_dump({"output": str(tmp_path / "out")}, f)
         with _pytest.raises(ValueError):
             main(["-p", "42", "--config", cfg_path])
+
+
+class TestEditSessionWithSAM:
+    def test_sam_backed_edits(self, rng):
+        """Encode-once/decode-many editing through a (tiny) SAM."""
+        import jax
+        import jax.numpy as jnp
+        from regen3d_tpu.models.sam import SAM, SamConfig
+
+        cfg = SamConfig.tiny()
+        model = SAM(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+                            jnp.zeros((1, 1, 2)), -jnp.ones((1, 1)),
+                            jnp.zeros((1, 2, 2)))
+        img = rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8)
+        s = EditSession(img, sam=model, sam_params=params)
+        i = s.new_from_box("chair", 10, 10, 40, 35)
+        assert s.masks[i].mask.shape == (48, 64)
+        before = s.masks[i].mask.copy()
+        s.add_point(i, 20, 20, positive=True)
+        s.add_point(i, 50, 40, positive=False)
+        # the SAM decoder re-ran on the prompt history (mask may change
+        # arbitrarily with random weights; shape/typing are the contract)
+        assert s.masks[i].mask.dtype == bool
+        assert s.masks[i].points == [(20, 20, 1), (50, 40, 0)]
+        dets = s.finish()
+        assert all(d.mask.shape == (48, 64) for d in dets)
