@@ -67,6 +67,10 @@ def project_and_mask(
 def run(cfg: Config) -> Dict[str, int]:
     """Extract per-object clouds for every finding. Returns {stem: n_points}."""
     art = Artifacts(cfg)
+    # 3D-FRONT mode derives camera.npz from the dataset JSON
+    # (reference: cam_utils.py:30-35)
+    from regen3d_tpu.pipeline.front3d import maybe_extract
+    maybe_extract(cfg)
     stems = art.list_findings(full_size=True)
     os.makedirs(art.masks_dir, exist_ok=True)
     os.makedirs(art.pointclouds_dir, exist_ok=True)

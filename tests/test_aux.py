@@ -133,3 +133,29 @@ class TestEditSessionWithSAM:
         assert s.masks[i].points == [(20, 20, 1), (50, 40, 0)]
         dets = s.finish()
         assert all(d.mask.shape == (48, 64) for d in dets)
+
+
+class TestFront3D:
+    def test_camera_extraction(self, tmp_path):
+        import json
+        import jax.numpy as jnp
+        from regen3d_tpu.camera import camera_from_npz
+        from regen3d_tpu.pipeline.front3d import extract_camera_from_json
+
+        meta = {"camera": {"pos": [0, 1.5, -3], "look_at": [0, 1, 2],
+                           "fov": 90.0},
+                "width": 640, "height": 480}
+        jp = str(tmp_path / "scene.json")
+        with open(jp, "w") as f:
+            json.dump(meta, f)
+        npz = str(tmp_path / "camera.npz")
+        extract_camera_from_json(jp, npz)
+        cam = camera_from_npz(npz)
+        assert cam.image_size == (480, 640)
+        # fov 90° horizontal → focal = width/2 = 320
+        np.testing.assert_allclose(np.asarray(cam.focal), [320.0, 320.0],
+                                   atol=0.5)
+        # the look_at target projects to the image centre
+        uv, z = cam.project(jnp.asarray([0.0, 1.0, 2.0]))
+        assert float(z) > 0
+        np.testing.assert_allclose(np.asarray(uv), [320.0, 240.0], atol=1.0)
