@@ -30,6 +30,20 @@ def run(cfg: Config, lpips_fn=None) -> Dict[str, float]:
     art = Artifacts(cfg)
     metrics: Dict[str, float] = {}
 
+    # LPIPS requires calibrated weights to be meaningful; load them when a
+    # converted checkpoint is configured (scripts/convert_weights.py lpips).
+    if lpips_fn is None:
+        ckpt = cfg.path("lpips_checkpoint", None)
+        if ckpt and os.path.exists(ckpt):
+            try:
+                from regen3d_tpu.models.lpips import make_lpips_fn
+                from regen3d_tpu.models.weights import load_checkpoint
+
+                lpips_fn = make_lpips_fn(load_checkpoint(ckpt))
+                log.info("phase9: LPIPS weights from %s", ckpt)
+            except Exception:
+                log.exception("phase9: LPIPS checkpoint load failed")
+
     # --- 3D block --------------------------------------------------------------
     if os.path.exists(art.pred_points_ply) and os.path.exists(art.gt_points_ply):
         pred = jnp.asarray(load_ply(art.pred_points_ply).vertices)
