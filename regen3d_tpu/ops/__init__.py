@@ -38,3 +38,4 @@ from regen3d_tpu.ops.losses import (  # noqa: F401
 )
 from regen3d_tpu.ops.poisson import poisson_reconstruct  # noqa: F401
 from regen3d_tpu.ops.marching_cubes import marching_tetrahedra  # noqa: F401
+from regen3d_tpu.ops.bundle_adjust import refine_camera_gn  # noqa: F401
