@@ -10,8 +10,9 @@ Frames:
   * view frame ("P3D"): +X left, +Y up, +Z forward. ``x_view = x_world @ R + T``.
   * screen: origin top-left, +u right, +v down, in pixels.
 
-Projection (equivalent to the OpenCV pinhole after the axis flip that relates
-the two view frames): ``u = cx − fx·x/z``, ``v = cy − fy·y/z``, depth ``z``.
+Projection (pytorch3d transform_points_screen semantics — the view frame is
++X left / +Y up so image coordinates carry the sign flip):
+``u = cx − fx·x/z``, ``v = cy − fy·y/z``, depth ``z``.
 """
 
 from __future__ import annotations
@@ -53,24 +54,24 @@ class Camera(NamedTuple):
     def project(self, points_world: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """World points (..., 3) → (screen_uv (..., 2), depth (...,)).
 
-        Plain pinhole: u = cx + fx·x/z, v = cy + fy·y/z. This matches
+        P3D-sign pinhole: u = cx − fx·x/z, v = cy − fy·y/z. This matches
         pytorch3d's ``transform_points_screen`` for ``in_ndc=False`` cameras
-        combined with B2P-derived (R, T): the axis flips live in the
-        rotation, so view coordinates are OpenCV-style (+X right, +Y down,
-        +Z forward) and the projection carries no sign flips. Verified by
-        the camera↔cloud convention roundtrip tests.
+        (the P3D view frame is +X left / +Y up, and the NDC→screen step
+        carries an xy-flip into image coordinates), as configured by the
+        reference at cam_utils.py:28-87. Verified by the reference-artifact
+        fixture test (tests/test_reference_artifacts.py).
         """
         v = self.world_to_view(points_world)
         z = v[..., 2]
         z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-        u = self.principal[0] + self.focal[0] * v[..., 0] / z_safe
-        vv = self.principal[1] + self.focal[1] * v[..., 1] / z_safe
+        u = self.principal[0] - self.focal[0] * v[..., 0] / z_safe
+        vv = self.principal[1] - self.focal[1] * v[..., 1] / z_safe
         return jnp.stack([u, vv], axis=-1), z
 
     def unproject(self, uv: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
         """Screen pixels (..., 2) + view-space depth (...,) → world (..., 3)."""
-        x = (uv[..., 0] - self.principal[0]) * depth / self.focal[0]
-        y = (uv[..., 1] - self.principal[1]) * depth / self.focal[1]
+        x = (self.principal[0] - uv[..., 0]) * depth / self.focal[0]
+        y = (self.principal[1] - uv[..., 1]) * depth / self.focal[1]
         v = jnp.stack([x, y, depth], axis=-1)
         return self.view_to_world(v)
 
@@ -78,8 +79,8 @@ class Camera(NamedTuple):
         """View-space (..., 3) → (u, v, z) screen coords with depth kept."""
         z = points_view[..., 2]
         z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-        u = self.principal[0] + self.focal[0] * points_view[..., 0] / z_safe
-        v = self.principal[1] + self.focal[1] * points_view[..., 1] / z_safe
+        u = self.principal[0] - self.focal[0] * points_view[..., 0] / z_safe
+        v = self.principal[1] - self.focal[1] * points_view[..., 1] / z_safe
         return jnp.stack([u, v, z], axis=-1)
 
     def rescaled(self, height: int, width: int) -> "Camera":
@@ -113,15 +114,15 @@ def lookat_camera(
     up = jnp.asarray(up, jnp.float32)
     f = target - eye
     f = f / jnp.maximum(jnp.linalg.norm(f), 1e-12)
-    # right-handed OpenCV view frame (x, y, z=f with x×y=z):
-    # x = f×up (image right), y = f×x (image down)
+    # build the OpenCV frame (x right, y down, z=f) then negate x/y to get
+    # the P3D view frame (+X left, +Y up) that matches the projection signs
     x_cam = jnp.cross(f, up)
     x_norm = jnp.linalg.norm(x_cam)
     # degenerate (looking straight along up): pick another helper axis
     x_cam = jnp.where(x_norm > 1e-6, x_cam / jnp.maximum(x_norm, 1e-12),
                       jnp.asarray([1.0, 0.0, 0.0]))
     y_cam = jnp.cross(f, x_cam)
-    R = jnp.stack([x_cam, y_cam, f], axis=-1)  # columns = view axes in world
+    R = jnp.stack([-x_cam, -y_cam, f], axis=-1)  # columns = view axes in world
     T = -eye @ R
     h, w = image_hw
     return Camera(

@@ -152,6 +152,9 @@ DEFAULTS: Dict[str, Any] = {
     "gamma": 5e-7,
     "random_init_pose": False,
     "use_5DOF": True,
+    # labels usually on the floor (reference: pose_matching_planar.py:1024-1027)
+    "floor_object_names": ["chair", "sofa", "table", "couch", "bed",
+                           "cabinet", "desk", "sideboard", "dresser", "plant"],
     "silhoutte_loss": 0.1,       # (sic — reference key spelling)
     "loss_3d": 0.1,
     "loss_bbox": 0.01,
@@ -285,15 +288,17 @@ class Config(Mapping):
         raw = str(raw)
         if os.path.isabs(raw):
             return raw
+        # Canonical "../output/..." layout always anchors at the (possibly
+        # overridden/absolute) output root. For the reference's own configs
+        # (output: "../output") this equals base_dir resolution; for configs
+        # that set an absolute `output` it keeps every artifact under it
+        # instead of silently splitting the tree across two roots.
+        if raw.startswith("../output") and key != "output":
+            return os.path.normpath(self.output_root + raw[len("../output"):])
         if key in self.values or key in ("output", "temp"):
             # Explicitly configured (or the roots themselves): resolve like the
             # reference does — against the phase cwd next to the config file.
             return os.path.normpath(os.path.join(self.base_dir, raw))
-        # Unset key falling back to a canonical default: anchor the canonical
-        # "../output/..." layout at the (possibly overridden) output root, so
-        # a test config that only sets `output:` gets a consistent tree.
-        if raw.startswith("../output"):
-            return os.path.normpath(self.output_root + raw[len("../output"):])
         root = os.path.dirname(self.output_root)
         if raw.startswith("../"):
             return os.path.normpath(os.path.join(root, raw[3:]))

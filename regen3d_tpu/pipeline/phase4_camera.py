@@ -27,8 +27,8 @@ from regen3d_tpu.artifacts import Artifacts
 from regen3d_tpu.camera import save_camera_npz
 from regen3d_tpu.config import Config
 from regen3d_tpu.transforms.conventions import (
-    blender_to_p3d,
     opencv_extrinsic_to_blender_world,
+    vggt_points_to_scene_ply,
 )
 from regen3d_tpu.utils.colmapio import (
     ColmapCamera,
@@ -44,7 +44,8 @@ log = logging.getLogger(__name__)
 
 def matrix_to_qvec(R: np.ndarray) -> np.ndarray:
     from regen3d_tpu.transforms.rotations import matrix_to_quat
-    return np.asarray(matrix_to_quat(jnp.asarray(R, jnp.float64)))
+    return np.asarray(matrix_to_quat(jnp.asarray(R, jnp.float32)),
+                      dtype=np.float64)
 
 
 def export_reconstruction(
@@ -62,6 +63,27 @@ def export_reconstruction(
     os.makedirs(art.colmap_sparse, exist_ok=True)
     names = list(frames)
     scale = float(cfg.get("vggt_scene_scale", 2.0))
+
+    # --- rebase so the frame-0 camera is the identity --------------------------
+    # VGGT's world frame IS the first camera (its pose head is normalized to
+    # frame 0); a converted checkpoint yields [I|0] here already. Rebasing
+    # explicitly makes the artifact contract exact for ANY pose output, and
+    # is what makes the reference's scale-only-the-cloud layout
+    # (minimal_demo_vggt.py:186, open TODO) projection-consistent.
+    fr0 = frames[names[0]]
+    R0 = np.asarray(fr0["R"], np.float64)
+    t0 = np.asarray(fr0["t"], np.float64)
+    rebased: Dict[str, Dict[str, np.ndarray]] = {}
+    for name in names:
+        fr = dict(frames[name])
+        R = np.asarray(fr["R"], np.float64)
+        t = np.asarray(fr["t"], np.float64)
+        fr["R"] = R @ R0.T
+        fr["t"] = t - (R @ R0.T) @ t0
+        pts = np.asarray(fr["points"], np.float64).reshape(-1, 3)
+        fr["points"] = pts @ R0.T + t0   # world → frame-0 camera frame
+        rebased[name] = fr
+    frames = rebased
 
     # --- COLMAP sparse (raw OpenCV/VGGT world — the COLMAP contract) ----------
     rec = ColmapReconstruction()
@@ -87,16 +109,15 @@ def export_reconstruction(
     with open(art.image_list_txt, "w") as f:
         f.write("\n".join(names) + "\n")
 
-    # --- camera.npz: Blender-hybrid extrinsic of each frame -------------------
-    # The global vggt_scene_scale is a similarity applied to (points,
-    # camera translation) TOGETHER, keeping projection exact (the reference
-    # scales only the cloud — minimal_demo_vggt.py:186 with an open TODO).
+    # --- camera.npz: R_fix·[R|t] with UNSCALED translation ---------------------
+    # (the reference's exact layout, minimal_demo_vggt.py:160-204; the
+    # vggt_scene_scale lives only in the clouds, exact because frame 0 = I)
     ext0 = None
     for i, name in enumerate(names):
         fr = frames[name]
         E = np.eye(4)
         E[:3, :3] = fr["R"]
-        E[:3, 3] = np.asarray(fr["t"], np.float64) * scale
+        E[:3, 3] = np.asarray(fr["t"], np.float64)
         ext_blender = opencv_extrinsic_to_blender_world(E)
         focal, _ = focal_and_angle(int(fr["width"]), fr["fx"], fr["fy"])
         if i == 0:
@@ -107,34 +128,34 @@ def export_reconstruction(
             save_camera_npz(art.camera_empty_npz, ext_blender, focal,
                             (int(fr["width"]), int(fr["height"])))
 
-    # --- render-world clouds ----------------------------------------------------
-    # Render ("P3D") world W is defined so the frame-0 camera loaded from
-    # camera.npz (R_cam, T_cam = B2P(ext)) projects by the plain pinhole:
-    #   x_cv = w @ R_cam + T_cam.  Since row-form x_cv = (p·s) @ R_cv.T + t·s,
-    #   w = (x_cv − T_cam) @ R_cam.T.
-    R_cam, T_cam = blender_to_p3d(ext0)
-    fr0 = frames[names[0]]
+    # --- raw-world per-frame clouds (reference: minimal_demo_vggt.py:534-580) --
+    # points.ply: frame-0 cloud; points_emptyRoom_pre.ply: frame-1 raw;
+    # points_emptyRoom.ply: frame-1 per-axis bbox-scale-matched to frame 0
+    # about its own centroid. All in the raw (rebased) VGGT world.
+    pts_by_frame = [np.asarray(frames[n]["points"], np.float64) for n in names]
+    save_ply(os.path.join(art.colmap_sparse, "points.ply"),
+             pts_by_frame[0].astype(np.float32), colors=all_cols[0])
+    if len(names) >= 2:
+        p1 = pts_by_frame[1]
+        save_ply(os.path.join(art.colmap_sparse, "points_emptyRoom_pre.ply"),
+                 p1.astype(np.float32), colors=all_cols[1])
+        if len(p1) and len(pts_by_frame[0]):
+            src_ext = p1.max(0) - p1.min(0)
+            tgt_ext = pts_by_frame[0].max(0) - pts_by_frame[0].min(0)
+            ax_scale = np.divide(tgt_ext, src_ext,
+                                 out=np.ones_like(tgt_ext),
+                                 where=src_ext > 1e-6)
+            c = p1.mean(0)
+            p1 = (p1 - c) * ax_scale + c
+        save_ply(os.path.join(art.colmap_sparse, "points_emptyRoom.ply"),
+                 p1.astype(np.float32), colors=all_cols[1])
 
-    def to_render_world(pts_cv: np.ndarray) -> np.ndarray:
-        x_cv = (pts_cv * scale) @ np.asarray(fr0["R"]).T \
-            + np.asarray(fr0["t"]) * scale
-        return (x_cv - T_cam) @ R_cam.T
-
-    for i, name in enumerate(names):
-        w = to_render_world(np.asarray(frames[name]["points"], np.float64))
-        ply_name = "points.ply" if i == 0 else "points_emptyRoom.ply"
-        save_ply(os.path.join(art.colmap_sparse, ply_name),
-                 w.astype(np.float32), colors=all_cols[i])
-
-    # scene_vggt.ply stores the cloud in the frame phase 5 re-bases from
-    # (get_model_vggt_cloud applies B2P(I) + Y-flip — pc_utils.py:25-37), so
-    # the stored points are the EXACT pre-image of the render world under
-    # that reload transform.
-    R0, _ = blender_to_p3d(np.eye(4))
-    w0 = to_render_world(np.asarray(fr0["points"], np.float64))
-    q = (w0 * np.asarray([1.0, -1.0, 1.0])) @ R0
+    # scene_vggt.ply: the reference's exact point fix
+    # (minimal_demo_vggt.py:176-186) — phase 5 undoes it via B2P(I) + Y-flip.
+    q = vggt_points_to_scene_ply(pts_by_frame[0], ext0, scale)
     save_ply(art.scene_cloud_ply, q.astype(np.float32))
-    log.info("phase4: exported %d frames, %d scene points", len(names), len(w0))
+    log.info("phase4: exported %d frames, %d scene points",
+             len(names), len(pts_by_frame[0]))
 
 
 def run_vggt_inference(

@@ -47,15 +47,25 @@ _FIT_FACES = 2048      # decimated silhouette mesh budget per object (default)
 _FIT_POINTS = 4096     # target-cloud budget per object (default)
 
 
-def _pad_to(arr: np.ndarray, n: int, fill=0.0) -> Tuple[np.ndarray, np.ndarray]:
+def _pad_to(arr: np.ndarray, n: int, fill=0.0,
+            subsample: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad ``arr`` to ``n`` rows with a validity mask.
+
+    Overflow policy: ``subsample=True`` (point clouds only) takes a random
+    subset — valid for unstructured points. For anything face-indexed
+    (vertices, faces) overflow raises: silently dropping vertices corrupts
+    the mesh (faces keep indexing the original array). Callers size their
+    budgets (see the re-decimation loop in :func:`run`).
+    """
     m = len(arr)
     mask = np.zeros(n, bool)
     mask[:min(m, n)] = True
-    if m >= n:
-        if arr.ndim == 1:
-            return arr[:n], mask
-        sel = np.random.default_rng(0).choice(m, n, replace=False) \
-            if arr.ndim == 2 and arr.shape[1] == 3 else np.arange(n)
+    if m > n:
+        if not subsample:
+            raise ValueError(
+                f"_pad_to overflow: {m} rows > budget {n} — decimate before "
+                "padding (vertex/face subsampling would corrupt the mesh)")
+        sel = np.random.default_rng(0).choice(m, n, replace=False)
         return arr[sel], np.ones(n, bool)
     pad_shape = (n - m,) + arr.shape[1:]
     return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)]), mask
@@ -186,14 +196,21 @@ def run(cfg: Config) -> Dict[str, float]:
         w2p, p2w = plane_transforms(plane)
         if bool(cfg.get("write_debug_artifacts", True)):
             _write_floor_debug(cfg, art, floor_cloud, plane, p2w)
-    floor_names = [n for n in cfg.get("list_aluminium_scene", [])]  # placeholder
+    # reference semantic: floor_object_names lists labels that are on-floor
+    # by name (pose_matching_planar.py:980-1046)
+    floor_names = [str(n) for n in cfg.get("floor_object_names", [])]
 
     # background AABB from the empty-room cloud (bbox hinge loss)
     bbox_lo = np.asarray([-1e3, -1e3, -1e3], np.float32)
     bbox_hi = np.asarray([1e3, 1e3, 1e3], np.float32)
     if os.path.exists(art.points_empty_ply):
-        # points_emptyRoom.ply is stored in the render world (phase-4 export)
-        bg = load_ply(art.points_empty_ply).vertices.astype(np.float32)
+        # points_emptyRoom.ply is stored in the RAW VGGT world (reference
+        # contract, minimal_demo_vggt.py:534-580); bring it into the pose
+        # world via the reference's set_vggt_cloud matrix diag(s,−s,−s)
+        from regen3d_tpu.transforms.conventions import vggt_raw_to_world
+        bg = vggt_raw_to_world(
+            load_ply(art.points_empty_ply).vertices,
+            float(cfg.get("vggt_scene_scale", 2.0))).astype(np.float32)
         pad = float(cfg.get("background_bbox_extents", -0.02))
         lo, hi = aabb(jnp.asarray(bg), pad=pad)
         bbox_lo, bbox_hi = np.asarray(lo), np.asarray(hi)
@@ -250,7 +267,14 @@ def run(cfg: Config) -> Dict[str, float]:
         scale0 *= 1.0  # pre_scale handled through log_scale init
         v_scaled = v_centered * scale0
 
-        dv, df = decimate_vertex_clustering(v_scaled, allf, fit_faces)
+        # decimate until BOTH the face and vertex budgets fit (vertex
+        # clustering targets faces; a pathological mesh can land over the
+        # vertex budget — tighten rather than subsample, see _pad_to)
+        target_faces = fit_faces
+        dv, df = decimate_vertex_clustering(v_scaled, allf, target_faces)
+        while (len(dv) > vmax or len(df) > fit_faces) and target_faces > 8:
+            target_faces = int(target_faces * 0.8)
+            dv, df = decimate_vertex_clustering(v_scaled, allf, target_faces)
         y_off = 0.0
         if on_floor:
             # pivot: plane frame; the object's bottom is baked to y=0 so the
@@ -279,7 +303,7 @@ def run(cfg: Config) -> Dict[str, float]:
 
         vv, vm = _pad_to(v_fit.astype(np.float32), vmax)
         ff, fm = _pad_to(df.astype(np.int32), fit_faces)
-        tp, pm = _pad_to(target, fit_points)
+        tp, pm = _pad_to(target, fit_points, subsample=True)
         batch_np["verts"][i] = vv
         batch_np["verts_mask"][i] = vm
         batch_np["faces"][i] = np.clip(ff, 0, max(int(vm.sum()) - 1, 0))

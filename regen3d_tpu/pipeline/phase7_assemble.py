@@ -155,10 +155,12 @@ def mesh_background(cfg: Config) -> Optional[str]:
     if not os.path.exists(art.points_empty_ply):
         log.warning("phase7: no empty-room cloud — skipping background mesh")
         return None
-    # points_emptyRoom.ply is already in the render world (phase-4 export
-    # bakes the scale + frame fix the reference applied via set_vggt_cloud's
-    # [s,−s,−s] matrix, mesh_pointclouds.py:27-81)
-    pts = load_ply(art.points_empty_ply).vertices.astype(np.float64)
+    # points_emptyRoom.ply is stored in the RAW VGGT world (reference
+    # contract); re-base into the pose world with the reference's
+    # set_vggt_cloud matrix diag(s,−s,−s) (mesh_pointclouds.py:27-81)
+    from regen3d_tpu.transforms.conventions import vggt_raw_to_world
+    pts = vggt_raw_to_world(load_ply(art.points_empty_ply).vertices,
+                            float(cfg.get("vggt_scene_scale", 2.0)))
     # subsample for tractable normals/poisson
     max_pts = 60000
     if len(pts) > max_pts:

@@ -22,17 +22,18 @@ class TestProjection:
         np.testing.assert_allclose(np.asarray(uv), [160.0, 128.0], atol=1e-5)
         assert float(z) == pytest.approx(2.0)
 
-    def test_view_plus_x_goes_screen_right(self):
-        # OpenCV-style view frame: +x lands at u > cx
+    def test_view_plus_x_goes_screen_left(self):
+        # P3D view frame (+X left): +x lands at u < cx
+        # (pytorch3d transform_points_screen semantics, cam_utils.py:28-87)
         cam = _simple_camera()
         uv, _ = cam.project(jnp.asarray([0.5, 0.0, 2.0]))
-        assert float(uv[0]) > 160.0
+        assert float(uv[0]) < 160.0
 
-    def test_view_plus_y_goes_screen_down(self):
-        # OpenCV-style view frame: +y lands at v > cy
+    def test_view_plus_y_goes_screen_up(self):
+        # P3D view frame (+Y up): +y lands at v < cy
         cam = _simple_camera()
         uv, _ = cam.project(jnp.asarray([0.0, 0.5, 2.0]))
-        assert float(uv[1]) > 128.0
+        assert float(uv[1]) < 128.0
 
     def test_unproject_roundtrip(self, rng):
         cam = _simple_camera()
