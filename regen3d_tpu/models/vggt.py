@@ -116,8 +116,8 @@ class Aggregator(nn.Module):
 
 
 class CameraHead(nn.Module):
-    """Camera tokens → pose encoding (tx ty tz, qw qx qy qz, fov_v fov_h)
-    by iterative residual refinement (the reference's pose_encoding
+    """Camera tokens → pose encoding (tx ty tz, qx qy qz qw, fov_h fov_w)
+    by iterative residual refinement (the reference's absT_quaR_FoV
     convention, decoded to extrinsics/intrinsics downstream)."""
 
     cfg: VGGTConfig
@@ -127,7 +127,8 @@ class CameraHead(nn.Module):
         c = self.cfg
         h = nn.LayerNorm(dtype=c.dtype, name="norm")(cam_tokens)
         enc = jnp.zeros((*cam_tokens.shape[:2], 9), jnp.float32)
-        base = jnp.asarray([0, 0, 0, 1, 0, 0, 0, 0.8, 0.8], jnp.float32)
+        # identity pose in absT_quaR_FoV layout: quat xyzw ⇒ w sits at idx 6
+        base = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 0.8, 0.8], jnp.float32)
         enc = enc + base
         trunk = Mlp(c.width * 2, out=c.width, dtype=c.dtype, name="trunk")
         head = nn.Dense(9, dtype=jnp.float32,
@@ -144,15 +145,18 @@ def pose_encoding_to_camera(enc: jnp.ndarray, image_hw: Tuple[int, int]
     """Pose encoding → extrinsic [R|t] (OpenCV world→cam) + intrinsics.
 
     Mirrors the reference's pose_encoding_to_extri_intri contract
-    (minimal_demo_vggt.py:311-313): quaternion (wxyz) → R, translation, and
-    vertical/horizontal FoV → focal in pixels.
+    (minimal_demo_vggt.py:311-313) for pose_encoding_type="absT_quaR_FoV":
+    layout [tx ty tz, qx qy qz qw, fov_h fov_w] — the quaternion is
+    SCALAR-LAST (xyzw, upstream vggt/utils/rotation.py "ijkr"), fov_h is the
+    vertical FoV (decoded with the image height). Pinned by the golden test
+    in tests/test_models_vggt.py::test_pose_encoding_golden.
     """
     from regen3d_tpu.transforms.rotations import quat_to_matrix
 
     t = enc[..., 0:3]
-    q = enc[..., 3:7]
+    q = enc[..., 3:7]                      # xyzw (scalar-last)
     fov = enc[..., 7:9]
-    R = quat_to_matrix(q)
+    R = quat_to_matrix(q[..., jnp.array([3, 0, 1, 2])])  # → wxyz helper
     h, w = image_hw
     fy = (h / 2.0) / jnp.tan(jnp.clip(fov[..., 0], 1e-3, 3.0) / 2.0)
     fx = (w / 2.0) / jnp.tan(jnp.clip(fov[..., 1], 1e-3, 3.0) / 2.0)

@@ -8,33 +8,61 @@ post-processing, done in native code like the reference's.
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import logging
 import os
+import platform
 import subprocess
 import tempfile
 from typing import Optional, Tuple
 
 import numpy as np
 
+log = logging.getLogger(__name__)
+
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libregen3d_marching.so")
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+
+
+def _cache_so_path(src: str) -> str:
+    """Per-host binary cache outside the package tree.
+
+    Keyed by source hash + machine + CPU so a shared package install across
+    heterogeneous hosts never loads a stale or incompatible binary, and
+    read-only installs still work (ADVICE r1: hermeticity)."""
+    with open(src, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    key = f"{src_hash}-{platform.machine()}-{platform.node()}"
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "regen3d_tpu")
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        d = tempfile.gettempdir()
+    return os.path.join(d, f"libregen3d_marching-{key}.so")
 
 
 def _build_native() -> Optional[ctypes.CDLL]:
     global _build_failed
     src = os.path.join(_NATIVE_DIR, "marching.cpp")
-    if not os.path.exists(_SO_PATH) or (
-            os.path.getmtime(_SO_PATH) < os.path.getmtime(src)):
+    so_path = _cache_so_path(src)
+    if not os.path.exists(so_path):
         try:
+            tmp = so_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", src, "-o", _SO_PATH],
+                ["g++", "-O3", "-shared", "-fPIC",
+                 "-std=c++17", src, "-o", tmp],
                 check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+            os.replace(tmp, so_path)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
             _build_failed = True
+            log.warning(
+                "native marching-tetrahedra build failed (%s); falling back "
+                "to the ~100x slower numpy path", e)
             return None
-    lib = ctypes.CDLL(_SO_PATH)
+    lib = ctypes.CDLL(so_path)
     lib.mt_extract.restype = ctypes.c_void_p
     lib.mt_extract.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,

@@ -168,9 +168,11 @@ def run_vggt_inference(
     """Jitted VGGT forward + unprojection + confidence filtering.
 
     Mirrors process_single_image_vggt (minimal_demo_vggt.py:368-584):
-    images resized to the model's square resolution, depth+conf+pose
-    decoded, cloud filtered by conf_thres_value and capped at
-    max_points_for_colmap.
+    images are made square by CENTERED PADDING (aspect-preserving — the
+    upstream load_and_preprocess_images_square contract, never a distorting
+    resize), then resized to the model's square resolution; depth+conf+pose
+    decoded, padded rows/cols masked out of the cloud, the remainder
+    filtered by conf_thres_value and capped at max_points_for_colmap.
     """
     from regen3d_tpu.models.vggt import pose_encoding_to_camera, unproject_depth
 
@@ -179,13 +181,25 @@ def run_vggt_inference(
 
     imgs = []
     sizes = []
+    valid_masks = []
     for p in image_paths:
         arr = load_image_rgb(p, max_side=None)
-        sizes.append(arr.shape[:2])
+        h, w = arr.shape[:2]
+        sizes.append((h, w))
+        side = max(h, w)
+        off_y, off_x = (side - h) // 2, (side - w) // 2
+        canvas = np.ones((side, side, 3), np.float32)
+        canvas[off_y:off_y + h, off_x:off_x + w] = arr.astype(np.float32) / 255.0
         im = np.asarray(
-            jax.image.resize(jnp.asarray(arr, jnp.float32) / 255.0,
+            jax.image.resize(jnp.asarray(canvas),
                              (resolution, resolution, 3), "bilinear"))
         imgs.append(im)
+        # which model pixels fall inside the original (un-padded) image
+        vm = np.zeros((side, side), bool)
+        vm[off_y:off_y + h, off_x:off_x + w] = True
+        yy = np.clip((np.arange(resolution) + 0.5) * side / resolution, 0,
+                     side - 1).astype(np.int64)
+        valid_masks.append(vm[yy][:, yy])
     batch = jnp.asarray(np.stack(imgs))[None]  # (1, F, H, W, 3)
 
     @jax.jit
@@ -202,22 +216,24 @@ def run_vggt_inference(
         conf = np.asarray(out["depth_conf"][0, i])
         pts = np.asarray(unproject_depth(depth, jax.tree.map(
             lambda x: x[i:i + 1] if x.ndim >= 1 else x, cam), 0)).reshape(-1, 3)
-        keep = (conf.reshape(-1) >= conf_thr)
+        keep = (conf.reshape(-1) >= conf_thr) & valid_masks[i].reshape(-1)
         pts = pts[keep]
         if len(pts) > max_pts:
             sel = np.random.default_rng(int(cfg.get("seed", 1234567))).choice(
                 len(pts), max_pts, replace=False)
             pts = pts[sel]
         orig_h, orig_w = sizes[i]
-        # rescale intrinsics from model resolution to the original image
-        # (rename_colmap_recons_and_rescale_camera, minimal_demo_vggt.py:325-363)
-        sx = orig_w / resolution
-        sy = orig_h / resolution
+        # Rescale intrinsics from model resolution back to the original image
+        # (rename_colmap_recons_and_rescale_camera, minimal_demo_vggt.py:325-363).
+        # Padding preserved aspect, so the scale is UNIFORM: the model's
+        # square of `resolution` pixels spans max(h, w) original pixels, and
+        # the centered pad keeps the principal point at the image center.
+        s = max(orig_h, orig_w) / resolution
         frames[os.path.basename(p)] = {
             "points": pts,
             "R": np.asarray(cam["R"][i], np.float64),
             "t": np.asarray(cam["t"][i], np.float64),
-            "fx": float(cam["fx"][i]) * sx, "fy": float(cam["fy"][i]) * sy,
+            "fx": float(cam["fx"][i]) * s, "fy": float(cam["fy"][i]) * s,
             "cx": orig_w / 2.0, "cy": orig_h / 2.0,
             "width": orig_w, "height": orig_h,
         }

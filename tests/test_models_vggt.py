@@ -36,12 +36,47 @@ class TestVGGT:
         assert np.all(np.asarray(out["depth_conf"]) >= 1.0)
 
     def test_pose_decoding(self):
-        # identity pose, 90° vertical fov at 100×200
-        enc = jnp.asarray([[[0.0, 0, 0, 1, 0, 0, 0, np.pi / 2, np.pi / 2]]])
+        # identity pose (xyzw scalar-last ⇒ w at index 6), 90° fov at 100×200
+        enc = jnp.asarray([[[0.0, 0, 0, 0, 0, 0, 1, np.pi / 2, np.pi / 2]]])
         cam = pose_encoding_to_camera(enc, (100, 200))
         np.testing.assert_allclose(np.asarray(cam["R"][0, 0]), np.eye(3), atol=1e-6)
         assert float(cam["fy"][0, 0]) == pytest.approx(50.0, rel=1e-5)
         assert float(cam["fx"][0, 0]) == pytest.approx(100.0, rel=1e-5)
+
+    def test_pose_encoding_golden(self):
+        """Pin the absT_quaR_FoV convention against an independent
+        transcription of the upstream decode (vggt/utils/pose_enc.py +
+        rotation.py: quat is SCALAR-LAST xyzw; fov_h decodes with H, fov_w
+        with W; principal point at the image center).
+
+        Golden: quat (x,y,z,w) = normalized (0.1, 0.2, 0.3, 0.9),
+        t = (0.5, −0.25, 1.5), fov_h = 1.2, fov_w = 0.9, image 480×640.
+        Expected R computed by hand from the scalar-last quaternion formula
+        R = I + 2w[q]ₓ + 2[q]ₓ² with q = (x,y,z)/‖q‖."""
+        q = np.array([0.1, 0.2, 0.3, 0.9])
+        q = q / np.linalg.norm(q)
+        x, y, z, w = q
+        # independent formula (NOT the repo helper): scalar-last quat → R
+        K = np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+        R_expected = np.eye(3) + 2 * w * K + 2 * (K @ K)
+        enc = jnp.asarray(
+            [[[0.5, -0.25, 1.5, q[0], q[1], q[2], q[3], 1.2, 0.9]]],
+            jnp.float32)
+        cam = pose_encoding_to_camera(enc, (480, 640))
+        np.testing.assert_allclose(np.asarray(cam["R"][0, 0]), R_expected,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cam["t"][0, 0]),
+                                   [0.5, -0.25, 1.5], atol=1e-6)
+        assert float(cam["fy"][0, 0]) == pytest.approx(
+            (480 / 2) / np.tan(1.2 / 2), rel=1e-5)
+        assert float(cam["fx"][0, 0]) == pytest.approx(
+            (640 / 2) / np.tan(0.9 / 2), rel=1e-5)
+        assert float(cam["cx"][0, 0]) == 320.0
+        assert float(cam["cy"][0, 0]) == 240.0
+        # rotation must be proper (det +1) and orthonormal
+        R = np.asarray(cam["R"][0, 0])
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
 
     def test_unproject_roundtrip(self):
         """Unprojected points re-project to their pixels."""

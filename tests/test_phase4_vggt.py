@@ -62,3 +62,48 @@ class TestPhase4VGGT:
         inside = ((u[:, 0] >= 0) & (u[:, 0] < 128)
                   & (u[:, 1] >= 0) & (u[:, 1] < 96))
         assert inside.mean() > 0.75
+
+    def test_preprocessing_preserves_aspect(self, tmp_path, rng):
+        """Non-square inputs are square-PADDED (centered), never distorted
+        (upstream load_and_preprocess_images_square semantics), the
+        intrinsic rescale is uniform by max-side, and pad pixels are
+        excluded from the cloud."""
+        import jax.numpy as jnp
+        from regen3d_tpu.pipeline import phase4_camera
+
+        out = str(tmp_path / "output")
+        # tall thin image: 96 high, 32 wide → pad columns left/right
+        img = rng.integers(0, 255, size=(96, 32, 3)).astype(np.uint8)
+        inp = str(tmp_path / "thin.png")
+        save_image(inp, img)
+        cfg = default_config(out, input_image=inp, conf_thres_value=0.0)
+
+        vcfg = VGGTConfig.tiny()
+        model = VGGT(vcfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 1, vcfg.image_size, vcfg.image_size, 3)))
+        res = vcfg.image_size
+        frames = phase4_camera.run_vggt_inference(
+            cfg, params, model, (inp,), resolution=res)
+        fr = next(iter(frames.values()))
+
+        # a manually pre-padded square version of the same image must see
+        # the IDENTICAL model input, hence identical model-space focals;
+        # its rescale factor (96/res) matches the thin image's max-side
+        # factor — so the exported fx/fy must agree. An anisotropic resize
+        # would warp the thin image's fx by 3×.
+        sq = np.full((96, 96, 3), 255, np.uint8)
+        sq[:, 32:64] = img
+        inp_sq = str(tmp_path / "square.png")
+        save_image(inp_sq, sq)
+        fr_sq = next(iter(phase4_camera.run_vggt_inference(
+            cfg, params, model, (inp_sq,), resolution=res).values()))
+        assert fr["fx"] == pytest.approx(fr_sq["fx"], rel=1e-4), \
+            "anisotropic rescale detected (aspect not preserved)"
+        assert fr["fy"] == pytest.approx(fr_sq["fy"], rel=1e-4)
+        assert fr["cx"] == 16.0 and fr["cy"] == 48.0
+        # pad exclusion: at conf_thres 0 every VALID pixel unprojects; the
+        # pad is 2/3 of the square, so the kept fraction must be ≈ 1/3
+        kept = len(fr["points"]) / (res * res)
+        assert kept <= 0.40, f"padded pixels leaked into the cloud ({kept:.2f})"
+        assert kept >= 0.20, "valid pixels were over-masked"
