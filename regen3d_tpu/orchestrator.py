@@ -39,9 +39,10 @@ def _phase3(cfg: Config):
 
 def _phase4(cfg: Config):
     if not bool(cfg.get("Use_VGGT", True)):
-        raise NotImplementedError(
-            "dust3r alternative (Use_VGGT: false) is on the roadmap "
-            "(ROADMAP.md item 9); set Use_VGGT: true")
+        # the reference's dust3r variant (run.py:422-433): pairwise stereo
+        # + global alignment instead of VGGT
+        from regen3d_tpu.pipeline import phase4_dust3r
+        return phase4_dust3r.run(cfg)
     from regen3d_tpu.pipeline import phase4_camera
     return phase4_camera.run(cfg)
 

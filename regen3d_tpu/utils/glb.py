@@ -197,6 +197,71 @@ def save_glb(path: str, scene: SceneData) -> None:
         f.write(bin_bytes)
 
 
+def save_pointcloud_glb(path: str, points: np.ndarray,
+                        colors: Optional[np.ndarray] = None) -> None:
+    """Write a GLB whose single primitive is a point cloud (mode 0 =
+    POINTS) — the dust3r `as_pointcloud` scene.glb format
+    (minimal_demo_dust3r.py:42-46 exports a trimesh.PointCloud)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    points = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
+    bin_parts: List[bytes] = []
+    buffer_views = []
+    accessors = []
+    bin_len = 0
+
+    def add_accessor(arr: np.ndarray, gltf_type: str,
+                     normalized: bool = False) -> int:
+        nonlocal bin_len
+        comp = {np.dtype(np.float32): 5126, np.dtype(np.uint8): 5121,
+                np.dtype(np.uint16): 5123}[arr.dtype]
+        data = _pad(arr.tobytes(), 4, b"\x00")
+        buffer_views.append({"buffer": 0, "byteOffset": bin_len,
+                             "byteLength": len(data), "target": 34962})
+        bin_parts.append(data)
+        bin_len += len(data)
+        acc = {"bufferView": len(buffer_views) - 1, "componentType": comp,
+               "count": int(arr.shape[0]), "type": gltf_type}
+        if normalized:
+            acc["normalized"] = True
+        if arr.dtype == np.float32 and arr.size:
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    attrs = {"POSITION": add_accessor(points, "VEC3")}
+    if colors is not None and len(colors):
+        c = np.ascontiguousarray(colors)
+        if c.dtype != np.uint8:
+            c = np.clip(c * 255 if c.max() <= 1.0 else c, 0, 255
+                        ).astype(np.uint8)
+        if c.shape[-1] == 3:
+            c = np.concatenate([c, np.full_like(c[:, :1], 255)], -1)
+        attrs["COLOR_0"] = add_accessor(c, "VEC4", normalized=True)
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "regen3d_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"name": "pointcloud", "mesh": 0}],
+        "meshes": [{"name": "pointcloud",
+                    "primitives": [{"attributes": attrs, "mode": 0}]}],
+        "accessors": accessors,
+        "bufferViews": buffer_views,
+        "buffers": [{"byteLength": bin_len}],
+    }
+    json_bytes = _pad(json.dumps(gltf, separators=(",", ":")).encode("utf-8"),
+                      4, b" ")
+    bin_bytes = _pad(b"".join(bin_parts), 4, b"\x00")
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", _GLB_MAGIC, 2, total))
+        f.write(struct.pack("<II", len(json_bytes), _CHUNK_JSON))
+        f.write(json_bytes)
+        f.write(struct.pack("<II", len(bin_bytes), _CHUNK_BIN))
+        f.write(bin_bytes)
+
+
 def _read_accessor(gltf: dict, bin_chunk: bytes, idx: int) -> np.ndarray:
     acc = gltf["accessors"][idx]
     width = _TYPE_WIDTHS[acc["type"]]
