@@ -124,9 +124,10 @@ class EncoderBlock(nn.Module):
 
 
 class DecoderBlock(nn.Module):
-    """Self-attn on own tokens, cross-attn to the OTHER view's tokens, MLP
-    (upstream dust3r dec_blocks: each layer cross-attends to the other
-    decoder's previous-layer output)."""
+    """Self-attn on own tokens, cross-attn to the OTHER view's tokens, MLP —
+    the CroCo decoder block layout (norm1→attn, norm2→cross queries with
+    norm_y on the other view's memory tokens, norm3→mlp), so upstream
+    dec_blocks / dec_blocks2 weights map 1:1."""
 
     num_heads: int
     rope_freq: float
@@ -138,12 +139,13 @@ class DecoderBlock(nn.Module):
         x = x + RopeAttention(self.num_heads, self.rope_freq, self.dtype,
                               name="attn")(
             nn.LayerNorm(dtype=self.dtype, name="norm1")(x), pos)
+        mem = nn.LayerNorm(dtype=self.dtype, name="norm_y")(other)
         x = x + RopeAttention(self.num_heads, self.rope_freq, self.dtype,
                               name="cross_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="norm_y")(x), pos,
-            other, pos_other)
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), pos,
+            mem, pos_other)
         x = x + Mlp(e * 4, dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
         return x
 
 

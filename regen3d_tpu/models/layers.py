@@ -72,6 +72,55 @@ class Attention(nn.Module):
         return nn.Dense(e, dtype=self.dtype, name="proj")(o)
 
 
+class FusedAttention(nn.Module):
+    """Self-attention with a FUSED qkv projection — the torch-ViT layout
+    (timm/DINOv2/VGGT checkpoints store one qkv matrix), so converted
+    weights drop in without splitting."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, e = x.shape
+        hd = e // self.num_heads
+        qkv = nn.Dense(3 * e, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            return t.reshape(b, s, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        o = flash_attention(split(q), split(k), split(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, e)
+        return nn.Dense(e, dtype=self.dtype, name="proj")(o)
+
+
+class ViTBlock(nn.Module):
+    """Standard pre-norm ViT block with fused qkv and optional LayerScale
+    (DINOv2/VGGT block layout: norm1/attn/ls1/norm2/mlp/ls2)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layer_scale: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        e = x.shape[-1]
+        h = FusedAttention(self.num_heads, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        if self.layer_scale:
+            h = h * self.param("ls1", nn.initializers.constant(1e-5),
+                               (e,), jnp.float32).astype(h.dtype)
+        x = x + h
+        h = Mlp(int(e * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x))
+        if self.layer_scale:
+            h = h * self.param("ls2", nn.initializers.constant(1e-5),
+                               (e,), jnp.float32).astype(h.dtype)
+        return x + h
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm block: self-attn [+ optional cross-attn] + MLP."""
 

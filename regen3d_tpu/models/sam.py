@@ -184,12 +184,18 @@ class PromptEncoder(nn.Module):
         d = self.cfg.prompt_dim
         self.pe_gauss = self.param("pe_gauss", nn.initializers.normal(1.0),
                                    (2, d // 2), jnp.float32)
-        self.point_embed = self.param("point_embed",
-                                      nn.initializers.normal(0.02), (4, d),
-                                      jnp.float32)  # pos, neg, box-tl, box-br
+        # four separate embeddings (pos, neg, box-tl, box-br) — matches the
+        # upstream prompt_encoder.point_embeddings.{0..3} checkpoint layout
+        self._pes = [self.param(f"point_embed{i}",
+                                nn.initializers.normal(0.02), (d,),
+                                jnp.float32) for i in range(4)]
         self.not_a_point = self.param("not_a_point",
                                       nn.initializers.normal(0.02), (d,),
                                       jnp.float32)
+
+    @property
+    def point_embed(self):
+        return jnp.stack(self._pes)
 
     def _pe(self, coords01):
         """Random-fourier positional encoding of [0,1]² coords → (..., D)."""
@@ -226,21 +232,22 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, image, token_pe, image_pe, skip_first_pe=False):
-        def attn(name, q, k, v):
+        def attn(name, q, k, v, down=2):
+            # upstream: self_attn is FULL-dim, cross attns downsample by 2
             d = q.shape[-1]
-            hd = d // self.num_heads
+            di = d // down
             b = q.shape[0]
-            proj = lambda t, nm: nn.Dense(d // 2, dtype=self.dtype,
+            proj = lambda t, nm: nn.Dense(di, dtype=self.dtype,
                                           name=f"{name}_{nm}")(t) \
-                .reshape(b, -1, self.num_heads, (d // 2) // self.num_heads) \
+                .reshape(b, -1, self.num_heads, di // self.num_heads) \
                 .transpose(0, 2, 1, 3)
             o = flash_attention(proj(q, "q"), proj(k, "k"), proj(v, "v"))
-            o = o.transpose(0, 2, 1, 3).reshape(b, -1, d // 2)
+            o = o.transpose(0, 2, 1, 3).reshape(b, -1, di)
             return nn.Dense(d, dtype=self.dtype, name=f"{name}_out")(o)
 
         q = tokens if skip_first_pe else tokens + token_pe
         tokens = nn.LayerNorm(dtype=self.dtype, name="ln1")(
-            tokens + attn("self", q, q, tokens))
+            tokens + attn("self", q, q, tokens, down=1))
         q = tokens + token_pe
         k = image + image_pe
         tokens = nn.LayerNorm(dtype=self.dtype, name="ln2")(
@@ -252,11 +259,31 @@ class TwoWayBlock(nn.Module):
         return tokens, image
 
 
+class Mlp3(nn.Module):
+    """3-layer ReLU MLP (the upstream SAM ``MLP`` with num_layers=3 —
+    layers.0/1/2 in the checkpoint; needed for weight-layout parity of the
+    hypernetworks and the IoU head)."""
+
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="lin0")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="lin1")(x))
+        return nn.Dense(self.out, dtype=self.dtype, name="lin2")(x)
+
+
 class MaskDecoder(nn.Module):
-    """Two-way transformer → multimask logits (B, 3, 4·grid, 4·grid) + IoU."""
+    """Two-way transformer → mask logits (B, 4, 4·grid, 4·grid) + IoU.
+
+    Token 0 is the single-mask output, tokens 1..3 the multimask outputs
+    (upstream num_mask_tokens = num_multimask_outputs + 1 = 4; callers pick
+    masks[:, 1:] for multimask mode, the HF segment() default)."""
 
     cfg: SamConfig
-    num_masks: int = 3
+    num_masks: int = 4
 
     @nn.compact
     def __call__(self, image_emb, image_pe, sparse_prompts):
@@ -278,14 +305,22 @@ class MaskDecoder(nn.Module):
         for i in range(2):
             tokens, img = TwoWayBlock(8, c.dtype, name=f"block{i}")(
                 tokens, img, token_pe, img_pe, skip_first_pe=(i == 0))
-        # final token→image attention
+
+        # final token→image attention (upstream final_attn_token_to_image +
+        # norm_final_attn — parameterized, so converted weights apply)
+        def fattn(q, k, v):
+            hd2 = (d // 2) // 8
+            proj = lambda t, nm: nn.Dense(d // 2, dtype=c.dtype,
+                                          name=f"final_{nm}")(t) \
+                .reshape(b, -1, 8, hd2).transpose(0, 2, 1, 3)
+            o = flash_attention(proj(q, "q"), proj(k, "k"), proj(v, "v"))
+            o = o.transpose(0, 2, 1, 3).reshape(b, -1, d // 2)
+            return nn.Dense(d, dtype=c.dtype, name="final_out")(o)
+
         q = tokens + token_pe
         k = img + img_pe
-        # simple dense attention (tiny)
-        att = jax.nn.softmax(
-            (q @ jnp.swapaxes(k, 1, 2)) / jnp.sqrt(jnp.asarray(d, jnp.float32)),
-            axis=-1)
-        tokens = tokens + att.astype(img.dtype) @ img
+        tokens = nn.LayerNorm(dtype=c.dtype, name="norm_final")(
+            tokens + fattn(q, k, img))
 
         iou_out = tokens[:, 0]
         mask_toks = tokens[:, 1:1 + self.num_masks]
@@ -301,13 +336,13 @@ class MaskDecoder(nn.Module):
 
         hyper = []
         for m in range(self.num_masks):
-            hyper.append(Mlp(d, out=d // 8, dtype=c.dtype, name=f"hyper{m}")(
+            hyper.append(Mlp3(d, out=d // 8, dtype=c.dtype, name=f"hyper{m}")(
                 mask_toks[:, m]))
         hyper = jnp.stack(hyper, axis=1)  # (B, M, d/8)
         masks = jnp.einsum("bmd,bhwd->bmhw", hyper.astype(jnp.float32),
                            up.astype(jnp.float32))
-        iou_pred = Mlp(d, out=self.num_masks, dtype=jnp.float32,
-                       name="iou_head")(iou_out.astype(jnp.float32))
+        iou_pred = Mlp3(d, out=self.num_masks, dtype=jnp.float32,
+                        name="iou_head")(iou_out.astype(jnp.float32))
         return masks, iou_pred
 
 

@@ -1,31 +1,42 @@
 """VGGT-family geometry transformer: camera + depth + point maps from images.
 
-Rebuilds the reference's VGGT-1B usage (minimal_demo_vggt.py:295-321): a
-DINO-patchified ViT **aggregator** with alternating frame-wise / global
-attention, a **camera head** decoding per-frame pose encodings
-(translation, quaternion, vertical FoV) by iterative refinement, and a
-DPT-style **depth head** with per-pixel confidence. The reference runs it at
-518², 1–2 frames, bf16 autocast — here everything is flax + the Pallas flash
-kernel, jit end to end.
+Rebuilds the reference's VGGT-1B usage (minimal_demo_vggt.py:295-321) with
+the UPSTREAM MODULE STRUCTURE so the facebook/VGGT-1B checkpoint converts
+1:1 (models/conversion.py `vggt` family):
 
-Weight conversion from the torch checkpoint maps 1:1 onto these modules
-(models/weights.py); no weights ship in this image, so tests run tiny
-random-init configs.
+  * ``aggregator.patch_embed`` — a DINOv2-style ViT backbone (patch conv +
+    cls token + pos embed + LayerScale blocks) producing 1024-d patch
+    tokens;
+  * ``aggregator.frame_blocks`` / ``aggregator.global_blocks`` — 24
+    alternating attention layers: frame blocks attend within each frame
+    (B·F, N, D), global blocks across all frames (B, F·N, D); per-layer the
+    [frame_out ‖ global_out] concat (2048-d) feeds the heads (the upstream
+    "aggregated tokens");
+  * per-frame ``camera_token`` / ``register_token`` pairs (index 0 = query
+    frame, 1 = the rest);
+  * ``camera_head`` — iterative pose refinement: AdaLN-modulated trunk of
+    ViT blocks over camera tokens, pose_branch MLP emitting absT_quaR_FoV
+    deltas (quaternion SCALAR-LAST xyzw, fov_h then fov_w);
+  * ``depth_head`` — a DPT head (per-tap projections, resize pyramid,
+    fusion refinenets, output convs) with per-pixel confidence.
+
+All flash-attention-backed, bf16 with f32 heads, jit end to end. The
+reference runs it at 518², 1–2 frames (minimal_demo_vggt.py:398-411).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from regen3d_tpu.models.layers import (
-    Attention,
     Mlp,
     PatchEmbed,
+    ViTBlock,
     posemb_sincos_2d,
 )
 
@@ -35,10 +46,12 @@ class VGGTConfig:
     image_size: int = 518
     patch: int = 14
     width: int = 1024
-    depth: int = 24            # aggregator blocks (each = frame + global attn)
+    depth: int = 24            # alternating frame/global layer pairs
     num_heads: int = 16
+    backbone_depth: int = 24   # DINOv2-L patch_embed blocks
     num_register_tokens: int = 4
     camera_iterations: int = 4
+    camera_trunk_depth: int = 4
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -48,95 +61,120 @@ class VGGTConfig:
     @classmethod
     def tiny(cls) -> "VGGTConfig":
         return cls(image_size=28, patch=14, width=64, depth=2, num_heads=4,
-                   num_register_tokens=1, camera_iterations=2)
+                   backbone_depth=2, num_register_tokens=1,
+                   camera_iterations=2, camera_trunk_depth=1)
 
 
-class AggregatorBlock(nn.Module):
-    """One alternating unit: frame-local attention then global attention.
+class DinoBackbone(nn.Module):
+    """DINOv2-style ViT producing patch tokens (the upstream
+    aggregator.patch_embed role): patch conv, cls token, interpolated pos
+    embed, LayerScale blocks, final norm; returns patch tokens only."""
 
-    Frame attention: tokens reshaped to (B·F, N, D) — each frame attends to
-    itself. Global attention: (B, F·N, D) — every token sees every frame.
-    """
-
-    num_heads: int
-    dtype: jnp.dtype
+    cfg: VGGTConfig
 
     @nn.compact
-    def __call__(self, x):  # (B, F, N, D)
-        b, f, n, d = x.shape
-
-        h = x.reshape(b * f, n, d)
-        h = h + Attention(self.num_heads, dtype=self.dtype, name="frame_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="frame_norm")(h))
-        h = h + Mlp(d * 4, dtype=self.dtype, name="frame_mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="frame_mlp_norm")(h))
-        x = h.reshape(b, f, n, d)
-
-        g = x.reshape(b, f * n, d)
-        g = g + Attention(self.num_heads, dtype=self.dtype, name="global_attn")(
-            nn.LayerNorm(dtype=self.dtype, name="global_norm")(g))
-        g = g + Mlp(d * 4, dtype=self.dtype, name="global_mlp")(
-            nn.LayerNorm(dtype=self.dtype, name="global_mlp_norm")(g))
-        return g.reshape(b, f, n, d)
+    def __call__(self, images):  # (B, H, W, 3) in [0, 1]
+        c = self.cfg
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        x = (images - mean) / std
+        x, (gh, gw) = PatchEmbed(c.patch, c.width, dtype=c.dtype,
+                                 name="patch_embed")(x.astype(c.dtype))
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, c.width), jnp.float32)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + gh * gw, c.width), jnp.float32)
+        b = x.shape[0]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(c.dtype), (b, 1, c.width)), x], 1)
+        x = x + pos.astype(c.dtype)
+        for i in range(c.backbone_depth):
+            x = ViTBlock(c.num_heads, layer_scale=True, dtype=c.dtype,
+                         name=f"block{i}")(x)
+        x = nn.LayerNorm(dtype=c.dtype, name="norm")(x)
+        return x[:, 1:], (gh, gw)  # drop cls
 
 
 class Aggregator(nn.Module):
+    """Alternating-attention trunk; returns per-layer [frame‖global]
+    concatenated tokens (the heads' 2·width input)."""
+
     cfg: VGGTConfig
 
     @nn.compact
     def __call__(self, images):  # (B, F, H, W, 3) in [0, 1]
         c = self.cfg
         b, f = images.shape[:2]
-        x, (gh, gw) = PatchEmbed(c.patch, c.width, dtype=c.dtype, name="patch")(
+        x, (gh, gw) = DinoBackbone(c, name="patch_embed")(
             images.reshape(b * f, *images.shape[2:]))
         x = x + posemb_sincos_2d(gh, gw, c.width)[None].astype(c.dtype)
         n = x.shape[1]
 
+        # per-frame special tokens: row 0 = query frame, row 1 = the rest
         cam_tok = self.param("camera_token", nn.initializers.normal(0.02),
-                             (1, c.width), jnp.float32)
-        reg_tok = self.param("register_tokens", nn.initializers.normal(0.02),
-                             (c.num_register_tokens, c.width), jnp.float32)
-        # frame 0 gets a distinct camera token role via a learned frame embedding
-        frame_emb = self.param("frame_emb", nn.initializers.normal(0.02),
-                               (2, c.width), jnp.float32)
+                             (2, 1, c.width), jnp.float32)
+        reg_tok = self.param("register_token", nn.initializers.normal(0.02),
+                             (2, c.num_register_tokens, c.width), jnp.float32)
         fidx = jnp.minimum(jnp.arange(f), 1)
-        extra = jnp.concatenate([cam_tok, reg_tok], axis=0)  # (1+R, D)
-        extra = jnp.broadcast_to(extra[None, None], (b, f, extra.shape[0], c.width))
-        extra = extra + frame_emb[fidx][None, :, None, :]
+        extra = jnp.concatenate([cam_tok, reg_tok], axis=1)[fidx]  # (F,1+R,D)
+        extra = jnp.broadcast_to(extra[None], (b, f, *extra.shape[1:]))
         x = x.reshape(b, f, n, c.width)
         x = jnp.concatenate([extra.astype(c.dtype), x], axis=2)
+        n_tok = x.shape[2]
 
-        feats = []
+        taps: List[jnp.ndarray] = []
         for i in range(c.depth):
-            x = AggregatorBlock(c.num_heads, c.dtype, name=f"block{i}")(x)
-            feats.append(x)
-        # expose the 4 evenly spaced intermediate maps (DPT consumes several)
-        taps = [feats[max(0, (len(feats) * k) // 4 - 1)] for k in (1, 2, 3, 4)]
-        return x, taps, (gh, gw)
+            h = x.reshape(b * f, n_tok, c.width)
+            h = ViTBlock(c.num_heads, dtype=c.dtype,
+                         name=f"frame_block{i}")(h)
+            frame_out = h.reshape(b, f, n_tok, c.width)
+            g = frame_out.reshape(b, f * n_tok, c.width)
+            g = ViTBlock(c.num_heads, dtype=c.dtype,
+                         name=f"global_block{i}")(g)
+            x = g.reshape(b, f, n_tok, c.width)
+            taps.append(jnp.concatenate([frame_out, x], axis=-1))  # 2·width
+        return taps, (gh, gw)
 
 
 class CameraHead(nn.Module):
-    """Camera tokens → pose encoding (tx ty tz, qx qy qz qw, fov_h fov_w)
-    by iterative residual refinement (the reference's absT_quaR_FoV
-    convention, decoded to extrinsics/intrinsics downstream)."""
+    """Camera tokens → pose encoding [tx ty tz, qx qy qz qw, fov_h fov_w]
+    (absT_quaR_FoV) by iterative AdaLN-modulated refinement (the upstream
+    camera_head structure: token_norm, embed_pose, poseLN_modulation,
+    trunk blocks, trunk_norm, pose_branch)."""
 
     cfg: VGGTConfig
 
     @nn.compact
-    def __call__(self, cam_tokens):  # (B, F, D)
+    def __call__(self, cam_tokens):  # (B, F, 2·width)
         c = self.cfg
-        h = nn.LayerNorm(dtype=c.dtype, name="norm")(cam_tokens)
-        enc = jnp.zeros((*cam_tokens.shape[:2], 9), jnp.float32)
-        # identity pose in absT_quaR_FoV layout: quat xyzw ⇒ w sits at idx 6
+        d = 2 * c.width
+        b, f = cam_tokens.shape[:2]
+        h0 = nn.LayerNorm(dtype=c.dtype, name="token_norm")(
+            cam_tokens).reshape(b, f, d)
+        # identity pose in absT_quaR_FoV: quat xyzw ⇒ w at index 6
         base = jnp.asarray([0, 0, 0, 0, 0, 0, 1, 0.8, 0.8], jnp.float32)
-        enc = enc + base
-        trunk = Mlp(c.width * 2, out=c.width, dtype=c.dtype, name="trunk")
-        head = nn.Dense(9, dtype=jnp.float32,
-                        kernel_init=nn.initializers.zeros, name="delta")
-        emb = nn.Dense(c.width, dtype=c.dtype, name="enc_in")
+        enc = jnp.zeros((b, f, 9), jnp.float32) + base
+
+        embed_pose = nn.Dense(d, dtype=c.dtype, name="embed_pose")
+        modulation = nn.Dense(3 * d, dtype=c.dtype,
+                              kernel_init=nn.initializers.zeros,
+                              name="poseLN_modulation")
+        trunk = [ViTBlock(c.num_heads, dtype=c.dtype, name=f"trunk{i}")
+                 for i in range(c.camera_trunk_depth)]
+        trunk_norm = nn.LayerNorm(dtype=c.dtype, name="trunk_norm")
+        adaln_norm = nn.LayerNorm(use_scale=False, use_bias=False,
+                                  dtype=c.dtype, name="adaln_norm")
+        branch = Mlp(d // 2, out=9, dtype=jnp.float32, name="pose_branch")
+
         for _ in range(c.camera_iterations):
-            z = trunk(h + emb(enc.astype(c.dtype)))
-            enc = enc + head(z)
+            mod = modulation(nn.silu(embed_pose(enc.astype(c.dtype))))
+            shift, scale, gate = jnp.split(mod, 3, axis=-1)
+            z = adaln_norm(h0) * (1 + scale) + shift
+            z = (gate * z).reshape(b * f, 1, d)
+            for blk in trunk:
+                z = blk(z)
+            z = trunk_norm(z).reshape(b, f, d)
+            enc = enc + branch(z.astype(jnp.float32))
         return enc  # (B, F, 9)
 
 
@@ -164,46 +202,76 @@ def pose_encoding_to_camera(enc: jnp.ndarray, image_hw: Tuple[int, int]
             "cx": jnp.full_like(fx, w / 2.0), "cy": jnp.full_like(fy, h / 2.0)}
 
 
+class ResidualConvUnit(nn.Module):
+    """DPT fusion residual unit: two 3×3 convs with ReLU pre-activations."""
+
+    ch: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv1")(nn.relu(x))
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="conv2")(nn.relu(h))
+        return x + h
+
+
 class DPTHead(nn.Module):
-    """Multi-scale dense prediction head: 4 aggregator taps → per-pixel
-    (value, confidence) maps at input resolution."""
+    """DPT dense head (upstream depth_head structure): 4 taps → per-tap
+    projection convs → resize pyramid → scratch RN convs → refinenet fusion
+    → output convs → (value, confidence) at input resolution."""
 
     cfg: VGGTConfig
     out_channels: int = 1
-    name_prefix: str = "depth"
+    features: int = 128
 
     @nn.compact
     def __call__(self, taps, grid_hw, out_hw):
         c = self.cfg
         gh, gw = grid_hw
-        feats = []
+        fe = self.features
+
+        def resize_to(x, s):
+            return jax.image.resize(
+                x, (x.shape[0], max(1, int(gh * s)), max(1, int(gw * s)),
+                    x.shape[-1]), "bilinear")
+
+        # per-tap: strip special tokens, project, resize to the pyramid level
+        outs = []
+        scales = (4.0, 2.0, 1.0, 0.5)
+        chans = (fe, fe, fe * 2, fe * 2)
         for i, t in enumerate(taps):
-            # strip camera/register tokens; keep patch tokens
             patch = t[:, :, -(gh * gw):, :]
             b, f = patch.shape[:2]
-            x = patch.reshape(b * f, gh, gw, c.width)
-            x = nn.Dense(c.width // 2, dtype=c.dtype, name=f"proj{i}")(x)
-            feats.append(x)
-        h = jnp.concatenate(feats, axis=-1)
-        h = nn.Conv(c.width, (3, 3), dtype=c.dtype, name="fuse1")(h)
-        h = nn.gelu(h)
-        h = nn.Conv(c.width // 2, (3, 3), dtype=c.dtype, name="fuse2")(h)
-        h = nn.gelu(h)
-        # upsample to full resolution
+            x = patch.reshape(b * f, gh, gw, patch.shape[-1])
+            x = nn.Conv(chans[i], (1, 1), dtype=c.dtype, name=f"project{i}")(x)
+            x = resize_to(x, scales[i])
+            x = nn.Conv(fe, (3, 3), use_bias=False, dtype=c.dtype,
+                        name=f"layer{i + 1}_rn")(x)
+            outs.append(x)
+
+        # fusion: coarsest → finest, residual units + upsample
+        path = None
+        for i in (3, 2, 1, 0):
+            x = outs[i]
+            if path is not None:
+                x = x + jax.image.resize(path, x.shape, "bilinear")
+            x = ResidualConvUnit(fe, c.dtype, name=f"refinenet{i + 1}")(x)
+            path = x
+
+        h = nn.Conv(fe // 2, (3, 3), dtype=c.dtype, name="output_conv1")(path)
         oh, ow = out_hw
         h = jax.image.resize(h, (h.shape[0], oh, ow, h.shape[-1]), "bilinear")
-        h = nn.Conv(c.width // 4, (3, 3), dtype=c.dtype, name="refine")(h)
-        h = nn.gelu(h)
+        h = nn.Conv(32, (3, 3), dtype=c.dtype, name="output_conv2a")(h)
+        h = nn.relu(h)
         out = nn.Conv(self.out_channels + 1, (1, 1), dtype=jnp.float32,
-                      name="out")(h)
+                      name="output_conv2b")(h)
         value = out[..., :self.out_channels]
         conf = 1.0 + jax.nn.softplus(out[..., self.out_channels:])
-        b_f = value.shape[0]
         return value, conf
 
 
 class VGGT(nn.Module):
-    """Full model: images → {pose_enc, depth, depth_conf, point_map}."""
+    """Full model: images → {pose_enc, depth, depth_conf}."""
 
     cfg: VGGTConfig
 
@@ -211,10 +279,14 @@ class VGGT(nn.Module):
     def __call__(self, images):  # (B, F, H, W, 3)
         c = self.cfg
         b, f, h, w = images.shape[:4]
-        x, taps, grid_hw = Aggregator(c, name="aggregator")(images)
-        cam_tokens = x[:, :, 0, :].astype(jnp.float32)  # (B, F, D)
+        taps_all, grid_hw = Aggregator(c, name="aggregator")(images)
+        # heads consume 4 evenly spaced layer taps (DPT convention)
+        k = len(taps_all)
+        taps = [taps_all[max(0, (k * i) // 4 - 1)] for i in (1, 2, 3, 4)]
+        cam_tokens = taps_all[-1][:, :, 0, :].astype(jnp.float32)  # (B,F,2D)
         pose_enc = CameraHead(c, name="camera_head")(cam_tokens)
-        depth, depth_conf = DPTHead(c, 1, name="depth_head")(taps, grid_hw, (h, w))
+        depth, depth_conf = DPTHead(c, 1, name="depth_head")(
+            taps, grid_hw, (h, w))
         depth = jax.nn.softplus(depth)  # positive depths
         depth = depth.reshape(b, f, h, w)
         depth_conf = depth_conf.reshape(b, f, h, w)

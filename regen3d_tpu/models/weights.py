@@ -45,9 +45,22 @@ def convert_state_dict(
     rules: List[Rule],
     strict: bool = False,
 ) -> Dict[str, Any]:
-    """Apply mapping rules to a torch state_dict, build a nested flax tree."""
+    """Apply mapping rules to a torch state_dict, build a nested flax tree.
+
+    A rule's path_fn may return ONE path tuple (the transform then maps the
+    torch array to that leaf) or a LIST of path tuples (the transform must
+    return a matching list of arrays — e.g. an upstream fused qkv split into
+    separate q/k/v kernels). A path_fn returning None drops the key
+    explicitly (counted as mapped)."""
     out: Dict[str, Any] = {}
     unused = []
+
+    def put(path, arr):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+
     for key, val in state.items():
         arr = np.asarray(val)
         matched = False
@@ -56,12 +69,14 @@ def convert_state_dict(
             if not m:
                 continue
             path = path_fn(key, m)
-            if transform is not None:
-                arr = transform(arr)
-            node = out
-            for p in path[:-1]:
-                node = node.setdefault(p, {})
-            node[path[-1]] = arr
+            if path is None:
+                pass  # explicit drop
+            elif isinstance(path, list):
+                arrs = transform(arr)
+                for p, a in zip(path, arrs):
+                    put(p, a)
+            else:
+                put(path, transform(arr) if transform is not None else arr)
             matched = True
             break
         if not matched:

@@ -3,136 +3,136 @@
 
 Usage (in an environment with the downloaded checkpoints):
 
-    python scripts/convert_weights.py sam  /path/sam_vit_h_4b8939.pth out/sam
-    python scripts/convert_weights.py vggt /path/vggt_1b.pt          out/vggt
-    python scripts/convert_weights.py lpips /path/lpips_alex.pth     out/lpips
+    python scripts/convert_weights.py sam    /path/sam_vit_h_4b8939.pth out/sam
+    python scripts/convert_weights.py vggt   /path/vggt_1b.pt           out/vggt
+    python scripts/convert_weights.py dust3r /path/dust3r_512_linear.pth out/d3r
+    python scripts/convert_weights.py lpips  /path/lpips_alex.pth       out/lpips
+    python scripts/convert_weights.py --selftest          # no checkpoints needed
 
-The conversion machinery lives in regen3d_tpu/models/weights.py
-(`convert_state_dict` + transposition helpers + `verify_tree_shapes`). Each
-model family below declares its key-mapping rule table; `--verify` inits the
-target architecture at full size and checks every converted tensor's shape
-before saving. Rule tables are maintained against the checkpoint releases
-the reference pins (SURVEY §2.2); zero-egress CI can't download them, so
-conversions are exercised where checkpoints exist (see ROADMAP item 5 for
-the per-model parity-test plan).
-"""
+Rule tables live in regen3d_tpu/models/conversion.py (one per family, each
+with a zero-checkpoint self-test proving the table covers our architecture
+leaf-for-leaf). ``--verify`` inits the target architecture at FULL size and
+checks every converted tensor's shape before saving. A conversion that
+leaves more than ``--max-unmapped`` of the checkpoint unmapped refuses to
+save (a mostly-empty orbax tree is worse than none)."""
 
 from __future__ import annotations
 
 import argparse
 import sys
 
+from regen3d_tpu.models import conversion
 from regen3d_tpu.models.weights import (
     convert_state_dict,
     load_torch_file,
     save_checkpoint,
-    t2j_conv,
-    t2j_convtranspose,
-    t2j_linear,
     verify_tree_shapes,
 )
 
 
-def sam_rules():
-    """facebook/sam-vit-huge (original SAM release key layout)."""
-    r = []
-    # image encoder ViT blocks
-    r.append((r"image_encoder\.patch_embed\.proj\.weight",
-              lambda k, m: ("image_encoder", "patch_embed", "kernel"), t2j_conv))
-    r.append((r"image_encoder\.patch_embed\.proj\.bias",
-              lambda k, m: ("image_encoder", "patch_embed", "bias"), None))
-    r.append((r"image_encoder\.pos_embed",
-              lambda k, m: ("image_encoder", "pos_embed"), None))
-    r.append((r"image_encoder\.blocks\.(\d+)\.norm1\.(weight|bias)",
-              lambda k, m: ("image_encoder", f"block{m.group(1)}", "norm1",
-                            "scale" if m.group(2) == "weight" else "bias"), None))
-    r.append((r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.weight",
-              lambda k, m: ("image_encoder", f"block{m.group(1)}", "attn",
-                            "qkv", "kernel"), t2j_linear))
-    r.append((r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.bias",
-              lambda k, m: ("image_encoder", f"block{m.group(1)}", "attn",
-                            "qkv", "bias"), None))
-    r.append((r"image_encoder\.blocks\.(\d+)\.attn\.proj\.weight",
-              lambda k, m: ("image_encoder", f"block{m.group(1)}", "attn",
-                            "proj", "kernel"), t2j_linear))
-    r.append((r"image_encoder\.blocks\.(\d+)\.attn\.rel_pos_([hw])",
-              lambda k, m: ("image_encoder", f"block{m.group(1)}", "attn",
-                            f"rel_pos_{m.group(2)}"), None))
-    # ... (norm2/mlp/neck, prompt encoder, mask decoder follow the same
-    # pattern; completed alongside checkpoint-in-hand parity tests)
-    return r
+def full_init(family: str):
+    """Init the FULL-size architecture for shape verification."""
+    import jax
+    import jax.numpy as jnp
 
-
-def vggt_rules():
-    """facebook/VGGT-1B — aggregator/camera_head/depth_head key layout."""
-    r = []
-    r.append((r"aggregator\.patch_embed\.proj\.weight",
-              lambda k, m: ("aggregator", "patch", "proj", "kernel"), t2j_conv))
-    r.append((r"aggregator\.blocks\.(\d+)\.(frame|global)_attn\.qkv\.weight",
-              lambda k, m: ("aggregator", f"block{m.group(1)}",
-                            f"{m.group(2)}_attn", "qkv", "kernel"), t2j_linear))
-    # ... completed alongside checkpoint-in-hand parity tests
-    return r
-
-
-def lpips_rules():
-    """torchvision AlexNet features + LPIPS linear heads."""
-    conv_map = {"0": "conv1", "3": "conv2", "6": "conv3", "8": "conv4",
-                "10": "conv5"}
-    r = []
-    for tk, ours in conv_map.items():
-        r.append((rf"net\.slice\d*\.?{tk}\.weight|features\.{tk}\.weight",
-                  lambda k, m, o=ours: ("alex", o, "kernel"), t2j_conv))
-        r.append((rf"net\.slice\d*\.?{tk}\.bias|features\.{tk}\.bias",
-                  lambda k, m, o=ours: ("alex", o, "bias"), None))
-    for i in range(5):
-        r.append((rf"lins?\.{i}\.model\.1\.weight|lin{i}\.model\.1\.weight",
-                  lambda k, m, i=i: (f"lin{i}", "kernel"), t2j_conv))
-    return r
-
-
-FAMILIES = {"sam": sam_rules, "vggt": vggt_rules, "lpips": lpips_rules}
+    key = jax.random.PRNGKey(0)
+    if family == "lpips":
+        from regen3d_tpu.models.lpips import LPIPS
+        return LPIPS().init(key, jnp.zeros((1, 64, 64, 3)),
+                            jnp.zeros((1, 64, 64, 3)))
+    if family == "sam":
+        from regen3d_tpu.models.sam import SAM, SamConfig
+        m = SAM(SamConfig())
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, 1024, 1024, 3)),
+                           jnp.zeros((1, 1, 2)), -jnp.ones((1, 1)),
+                           jnp.zeros((1, 2, 2))))
+    if family == "vggt":
+        from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+        m = VGGT(VGGTConfig())
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, 1, 518, 518, 3))))
+    if family == "dust3r":
+        from regen3d_tpu.models.dust3r import (AsymmetricCroCo3DStereo,
+                                               Dust3rConfig)
+        m = AsymmetricCroCo3DStereo(Dust3rConfig())
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, 512, 512, 3)),
+                           jnp.zeros((1, 512, 512, 3))))
+    if family == "dit":
+        from regen3d_tpu.models.dit import DiTConfig, ShapeDiT
+        c = DiTConfig.base()
+        m = ShapeDiT(c)
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, c.latent_tokens, c.latent_dim)),
+                           jnp.zeros((1,)), jnp.zeros((1, 8, c.cond_dim))))
+    if family == "shapevae":
+        # tiny init shares the structure; full config via env of the caller
+        return conversion.FAMILIES["shapevae"].tiny_init()
+    raise SystemExit(f"no full-size init wired for {family}")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("family", choices=sorted(FAMILIES))
-    ap.add_argument("checkpoint")
-    ap.add_argument("out_dir")
+    ap.add_argument("family", nargs="?", choices=sorted(conversion.FAMILIES))
+    ap.add_argument("checkpoint", nargs="?")
+    ap.add_argument("out_dir", nargs="?")
     ap.add_argument("--verify", action="store_true",
                     help="init the target architecture and check shapes")
+    ap.add_argument("--max-unmapped", type=float, default=0.02,
+                    help="refuse to save if more than this fraction of "
+                         "checkpoint tensors is unmapped")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run the zero-checkpoint rule-table round-trips")
     args = ap.parse_args()
+
+    if args.selftest:
+        failed = False
+        for fam in sorted(conversion.FAMILIES):
+            errs = conversion.selftest(fam)
+            status = conversion.FAMILIES[fam].status
+            print(f"{fam:10s} [{status:11s}]: "
+                  f"{'OK' if not errs else errs[:5]}")
+            failed |= bool(errs)
+        sys.exit(1 if failed else 0)
+
+    if not (args.family and args.checkpoint and args.out_dir):
+        ap.error("family, checkpoint and out_dir are required "
+                 "(or use --selftest)")
 
     state = load_torch_file(args.checkpoint)
     print(f"loaded {len(state)} tensors from {args.checkpoint}")
-    tree = convert_state_dict(state, FAMILIES[args.family]())
+    rules = conversion.FAMILIES[args.family].rules()
+
+    import logging
+
+    unmapped_count = [0]
+
+    class _Counter(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "unmapped torch keys" in msg:
+                unmapped_count[0] = int(msg.split(" ")[0])
+
+    logging.getLogger("regen3d_tpu.models.weights").addHandler(_Counter())
+    tree = convert_state_dict(state, rules)
+    frac = unmapped_count[0] / max(len(state), 1)
+    if frac > args.max_unmapped:
+        print(f"REFUSING to save: {unmapped_count[0]}/{len(state)} "
+              f"({frac:.1%}) of checkpoint tensors unmapped — the rule "
+              f"table does not fit this checkpoint (see "
+              f"regen3d_tpu/models/conversion.py '{args.family}').")
+        sys.exit(1)
 
     if args.verify:
-        import jax
-        import jax.numpy as jnp
-
-        if args.family == "lpips":
-            from regen3d_tpu.models.lpips import LPIPS
-            ref = LPIPS().init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 64, 64, 3)),
-                               jnp.zeros((1, 64, 64, 3)))
-        elif args.family == "sam":
-            from regen3d_tpu.models.sam import SAM, SamConfig
-            m = SAM(SamConfig())
-            ref = m.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 1024, 1024, 3)), jnp.zeros((1, 1, 2)),
-                         -jnp.ones((1, 1)), jnp.zeros((1, 2, 2)))
-        else:
-            from regen3d_tpu.models.vggt import VGGT, VGGTConfig
-            m = VGGT(VGGTConfig())
-            ref = m.init(jax.random.PRNGKey(0),
-                         jnp.zeros((1, 1, 518, 518, 3)))
+        ref = full_init(args.family)
         errors = verify_tree_shapes(tree, ref)
         if errors:
             print(f"{len(errors)} mismatches (first 20):")
             for e in errors[:20]:
                 print(" ", e)
             sys.exit(1)
+        print("shape verification OK")
 
     save_checkpoint(args.out_dir, tree)
     print(f"saved → {args.out_dir}")

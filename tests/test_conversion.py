@@ -1,0 +1,69 @@
+"""Weight-conversion rule tables: completeness + shape round-trips.
+
+For each family: build a SYNTHETIC upstream-layout state_dict from our tiny
+init (the rule table's inverse), run it through the forward rules, and check
+the result covers our architecture leaf-for-leaf with matching shapes.
+strict=True also proves no upstream key goes unmapped (DROP rules count)."""
+
+import numpy as np
+import pytest
+
+from regen3d_tpu.models import conversion
+
+
+@pytest.mark.parametrize("family", sorted(conversion.FAMILIES))
+def test_rule_table_roundtrip(family):
+    errors = conversion.selftest(family)
+    assert errors == [], f"{family}: {errors[:10]}"
+
+
+@pytest.mark.parametrize("family", sorted(conversion.FAMILIES))
+def test_synthetic_state_is_torch_layout(family):
+    """Synthetic states must look like torch state_dicts: flat dot-keys,
+    linear weights transposed relative to our kernels."""
+    state, init = conversion.synthetic_state(family)
+    assert all("." in k or k.count("/") == 0 for k in state)
+    assert all(isinstance(v, np.ndarray) for v in state.values())
+    assert len(state) > 0
+
+
+def test_converted_values_roundtrip_exactly():
+    """Values (not just shapes) survive the torch→flax round trip."""
+    from regen3d_tpu.models.weights import convert_state_dict
+    state, init = conversion.synthetic_state("lpips")
+    tree = convert_state_dict(state, conversion.lpips_rules(), strict=True)
+    flat_ours = conversion._flatten(init)
+    flat_conv = conversion._flatten(tree)
+    for path, want in flat_ours.items():
+        np.testing.assert_array_equal(flat_conv[path], want,
+                                      err_msg="/".join(path))
+
+
+def test_dust3r_qkv_split_order():
+    """The fused-qkv split must assign rows to q, k, v in that order."""
+    from regen3d_tpu.models.weights import convert_state_dict
+    state, init = conversion.synthetic_state("dust3r")
+    tree = convert_state_dict(state, conversion.dust3r_rules(), strict=True)
+    flat_ours = conversion._flatten(init)
+    flat_conv = conversion._flatten(tree)
+    for path, want in flat_ours.items():
+        np.testing.assert_array_equal(flat_conv[path], want,
+                                      err_msg="/".join(path))
+
+
+def test_strict_mode_rejects_unknown_keys():
+    from regen3d_tpu.models.weights import convert_state_dict
+    with pytest.raises(KeyError):
+        convert_state_dict({"totally.unknown.key": np.zeros(3)},
+                           conversion.sam_rules(), strict=True)
+
+
+def test_activation_fixture_runner(tmp_path):
+    """The fixture format runs (with a trivial identity 'model')."""
+    p = str(tmp_path / "fx.npz")
+    np.savez(p, input_x=np.ones((2, 3)), expected_y=np.ones((2, 3)) * 2)
+    conversion.check_activation_fixture(
+        "toy", p, lambda x: {"y": x * 2})
+    with pytest.raises(AssertionError):
+        conversion.check_activation_fixture(
+            "toy", p, lambda x: {"y": x * 3})

@@ -30,8 +30,8 @@ class TestSAM:
         boxes = jnp.asarray([[[0.25, 0.25], [0.75, 0.75]]])
         masks, iou = model.apply(params, img, pts, labs, boxes)
         g = cfg.image_size // cfg.patch
-        assert masks.shape == (1, 3, 4 * g, 4 * g)
-        assert iou.shape == (1, 3)
+        assert masks.shape == (1, 4, 4 * g, 4 * g)
+        assert iou.shape == (1, 4)
         assert np.all(np.isfinite(np.asarray(masks)))
 
     def test_encode_decode_split(self, tiny_sam, rng):
@@ -47,7 +47,7 @@ class TestSAM:
             masks, iou = model.apply(
                 params, emb, jnp.asarray([[[px, 0.5]]]), jnp.asarray([[1.0]]),
                 jnp.asarray([[[0.0, 0.0], [1.0, 1.0]]]), method=SAM.decode)
-            assert masks.shape[1] == 3
+            assert masks.shape[1] == 4  # upstream num_mask_tokens = 3 multimask + 1 single
 
     def test_prompt_sensitivity(self, tiny_sam, rng):
         """Different prompts must give different masks (plumbing check)."""
