@@ -18,6 +18,10 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"(attn|cross|gather|query_cross)/(q|k|v)/kernel$", P(None, "tp")),
     (r"(attn|cross|gather|query_cross)/(q|k|v)/bias$", P("tp")),
     (r"(attn|cross|gather|query_cross)/proj/kernel$", P("tp", None)),
+    # fused-qkv ViT blocks (VGGT aggregator/backbone, SAM encoder): column
+    # parallel on the fused output, row parallel on the out-projection
+    (r"attn/qkv/kernel$", P(None, "tp")),
+    (r"attn/qkv/bias$", P("tp")),
     (r"mlp/fc1/kernel$", P(None, "tp")),
     (r"mlp/fc1/bias$", P("tp")),
     (r"mlp/fc2/kernel$", P("tp", None)),

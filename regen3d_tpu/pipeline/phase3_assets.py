@@ -267,7 +267,32 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
                                np.int32)
         out_path = art.asset_glb(name)
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        if bool(cfg.get("bake_texture_atlas", False)):
+        if bool(cfg.get("use_multiview_texgen", False)):
+            # full Hunyuan3DPaintPipeline role: GENERATE the view ring with
+            # the camera-conditioned multiview diffusion model, then bake
+            # the texel atlas (pipeline/texgen.py). Without converted
+            # weights the views are random-init diffusion output — the
+            # contract runs end to end; quality arrives with checkpoints.
+            from regen3d_tpu.models.sd_unet import SDUNetConfig
+            from regen3d_tpu.models.sd_vae import SDVAEConfig
+            from regen3d_tpu.pipeline import texgen as tg
+            tcfg = tg.TexGenConfig(
+                num_views=int(cfg.get("max_num_view", 6)),
+                resolution=int(cfg.get("texgen_resolution", 64)),
+                steps=int(cfg.get("texgen_steps", 4)))
+            ucfg = SDUNetConfig.tiny(in_channels=8,
+                                     class_embeddings=tcfg.num_views)
+            vcfg = SDVAEConfig.tiny()
+            tp, vp, ucfg, vcfg = tg.init_texgen(tcfg, unet_cfg=ucfg,
+                                                vae_cfg=vcfg)
+            nv, nf, uvs, png = tg.texture_mesh(
+                verts, faces, img[..., :3], tcfg, tp, vp, ucfg, vcfg,
+                texels_per_face=int(cfg.get("texels_per_face", 8)),
+                seed=int(cfg.get("seed", 1234567)))
+            save_glb(out_path, SceneData(meshes=[MeshData(
+                name=name, vertices=nv, faces=nf, uvs=uvs,
+                texture_png=png)]))
+        elif bool(cfg.get("bake_texture_atlas", False)):
             # texel-space atlas (Hunyuan3DPaint output contract)
             from regen3d_tpu.camera import lookat_camera
             from regen3d_tpu.pipeline.texture import bake_texture_atlas

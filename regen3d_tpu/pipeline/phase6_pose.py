@@ -343,7 +343,18 @@ def run(cfg: Config) -> Dict[str, float]:
     )
     log.info("phase6: fitting %d objects in one program (%dx%d, %d iters)",
              b, render_h, render_w, fit_cfg.max_iterations)
-    result = fit_poses(init, batch, cam, fit_cfg)
+    n_dev = jax.device_count()
+    if n_dev > 1 and bool(cfg.get("shard_pose_fit", True)):
+        # object axis over 'dp' (the reference's per-object process pool,
+        # SURVEY §2.11, as a GSPMD-partitioned single program)
+        from regen3d_tpu.parallel.mesh import make_mesh
+        from regen3d_tpu.pipeline.pose_fit import fit_poses_sharded
+        mesh = make_mesh(tp=1)
+        log.info("phase6: sharding object batch over dp=%d",
+                 mesh.shape["dp"])
+        result = fit_poses_sharded(init, batch, cam, fit_cfg, mesh)
+    else:
+        result = fit_poses(init, batch, cam, fit_cfg)
     losses = np.asarray(result.losses)
 
     # --- apply final poses to the full-resolution meshes and export ---------

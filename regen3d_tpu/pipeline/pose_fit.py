@@ -298,6 +298,75 @@ def fit_poses(
                      converged=~active, history=hist)
 
 
+def pad_batch_to(batch: ObjectBatch, params: PoseParams, multiple: int
+                 ) -> Tuple[ObjectBatch, PoseParams, int]:
+    """Pad the object axis to a multiple (padding slots object_valid=False,
+    identity pivots). Returns (batch, params, original_b)."""
+    b = batch.verts.shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch, params, b
+
+    def pad0(x, fill=0):
+        return jnp.concatenate(
+            [x, jnp.full((pad, *x.shape[1:]), fill, x.dtype)], axis=0)
+
+    eye = jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))
+    batch = ObjectBatch(
+        verts=pad0(batch.verts), verts_mask=pad0(batch.verts_mask),
+        faces=pad0(batch.faces), faces_mask=pad0(batch.faces_mask),
+        target_mask=pad0(batch.target_mask),
+        target_points=pad0(batch.target_points),
+        points_mask=pad0(batch.points_mask),
+        pivot_R=jnp.concatenate([batch.pivot_R, eye]),
+        pivot_t=pad0(batch.pivot_t),
+        on_floor=pad0(batch.on_floor),
+        object_valid=pad0(batch.object_valid),  # False fill
+        bbox_lo=batch.bbox_lo, bbox_hi=batch.bbox_hi)
+    params = jax.tree.map(pad0, params)
+    return batch, params, b
+
+
+def fit_poses_sharded(
+    init_params: PoseParams,
+    batch: ObjectBatch,
+    camera: Camera,
+    cfg: FitConfig,
+    mesh,
+) -> FitResult:
+    """fit_poses with the OBJECT axis sharded over the mesh's 'dp' axis.
+
+    This is the TPU replacement for the reference's mp.Pool of per-object
+    pose_matching processes (scene_reconstruction/run.py:88-96): the batch
+    pads to a dp multiple, per-object leaves land on NamedSharding(P('dp')),
+    and GSPMD partitions the single compiled optimization across chips —
+    the only cross-chip traffic is the scalar convergence reduction in the
+    while_loop condition (an ICI psum).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    batch, init_params, b = pad_batch_to(batch, init_params, dp)
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == batch.verts.shape[0]:
+            return jax.device_put(x, NamedSharding(mesh, P("dp")))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    batch = jax.tree.map(put, batch)
+    init_params = jax.tree.map(put, init_params)
+    with mesh:
+        res = fit_poses(init_params, batch, camera, cfg)
+    # strip padding back off
+    trim = lambda x: x[:b] if getattr(x, "ndim", 0) >= 1 and \
+        x.shape[0] == batch.verts.shape[0] else x
+    return FitResult(params=jax.tree.map(trim, res.params),
+                     losses=res.losses[:b], num_iters=res.num_iters,
+                     converged=res.converged[:b],
+                     history=res.history[:, :b] if res.history.ndim == 3
+                     else res.history)
+
+
 def find_best_initial_yaw(
     verts: jnp.ndarray,
     target_points: jnp.ndarray,

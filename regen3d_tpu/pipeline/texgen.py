@@ -1,0 +1,207 @@
+"""Multiview texture GENERATION: camera-conditioned diffusion → baked atlas.
+
+Completes the Hunyuan3DPaintPipeline role
+(/root/reference/src/2d_to_3d_models/run.py:97): the reference *generates*
+the multiview images it bakes — a multiview SD UNet conditioned on the
+reference image and per-view cameras (max_num_view=6 at 512²,
+config.yaml:190-191). Round-1 shipped only the baker (pipeline/texture.py);
+this module adds the generator:
+
+  * ``MultiviewTexGen`` — one flax module: the diffusers-layout SDUNet
+    (models/sd_unet.py, ``SDUNetConfig.multiview``) with per-view camera
+    indices as class embeddings, the reference image supplied BOTH as a
+    channel-concatenated VAE latent (each view sees it) and as
+    cross-attention tokens (patchified latent through a projection);
+  * ``generate_views`` — ONE jitted program: all N views denoise together
+    in a single batch through a ``lax.scan`` DDIM loop (the N-view joint
+    denoising that gives multiview consistency), then VAE-decode;
+  * ``texture_mesh`` — generate views on the phase-3 orbit ring and feed
+    the existing occlusion-tested texel-atlas baker.
+
+TPU-first: the view axis IS the batch axis (one MXU stream, no per-view
+Python loop); the step loop is a compiled scan; everything bf16 with f32
+latents. With converted weights this reproduces the reference texture
+path; random-init runs exercise the full contract in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regen3d_tpu.models.sd_unet import SDUNet, SDUNetConfig
+from regen3d_tpu.models.sd_vae import SDAutoencoderKL, SDVAEConfig
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TexGenConfig:
+    num_views: int = 6
+    resolution: int = 512          # config.yaml:191 resolution 512
+    steps: int = 15
+    guidance: float = 3.0
+    latent_down: int = 8
+
+    @classmethod
+    def tiny(cls) -> "TexGenConfig":
+        return cls(num_views=3, resolution=32, steps=2, guidance=1.0)
+
+
+class MultiviewTexGen(nn.Module):
+    """UNet + conditioning projection; __call__ = one denoising step for all
+    views (B = num_views)."""
+
+    unet_cfg: SDUNetConfig
+
+    @nn.compact
+    def __call__(self, latents, t, ref_latent, view_ids):
+        """latents: (V, h, w, 4); t: scalar; ref_latent: (h, w, 4);
+        view_ids: (V,) int32. Returns noise prediction (V, h, w, 4)."""
+        v = latents.shape[0]
+        ref = jnp.broadcast_to(ref_latent[None], (v, *ref_latent.shape))
+        x = jnp.concatenate([latents, ref], axis=-1)  # (V, h, w, 8)
+        # cross-attention tokens: patchified reference latent, projected
+        toks = ref_latent.reshape(1, -1, ref_latent.shape[-1])
+        toks = nn.Dense(self.unet_cfg.cross_attn_dim,
+                        name="cond_proj")(toks)
+        toks = jnp.broadcast_to(toks, (v, *toks.shape[1:]))
+        tt = jnp.full((v,), t, jnp.float32)
+        return SDUNet(self.unet_cfg, name="unet")(x, tt, toks, view_ids)
+
+
+def ddim_sample(params, model: MultiviewTexGen, ref_latent: jnp.ndarray,
+                shape: Tuple[int, ...], steps: int, key,
+                num_train_steps: int = 1000) -> jnp.ndarray:
+    """Jitted DDIM (eta=0) over a lax.scan: all views in one batch."""
+    v, h, w, c = shape
+    view_ids = jnp.arange(v, dtype=jnp.int32)
+    ts = jnp.linspace(num_train_steps - 1, 0, steps).astype(jnp.float32)
+    betas = jnp.linspace(8.5e-4, 1.2e-2, num_train_steps)
+    alphas_bar = jnp.cumprod(1.0 - betas)
+
+    def a_bar(t):
+        return alphas_bar[jnp.clip(t.astype(jnp.int32), 0,
+                                   num_train_steps - 1)]
+
+    @jax.jit
+    def run(params, key):
+        x0 = jax.random.normal(key, shape, jnp.float32)
+
+        def step(x, i):
+            t = ts[i]
+            t_prev = jnp.where(i + 1 < steps, ts[jnp.minimum(i + 1,
+                                                             steps - 1)], 0.0)
+            eps = model.apply(params, x, t, ref_latent, view_ids)
+            ab, ab_prev = a_bar(t), a_bar(t_prev)
+            x0_pred = (x - jnp.sqrt(1 - ab) * eps) / jnp.sqrt(ab)
+            x_next = jnp.sqrt(ab_prev) * x0_pred + jnp.sqrt(1 - ab_prev) * eps
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, x0, jnp.arange(steps))
+        return x
+
+    return run(params, key)
+
+
+def generate_views(
+    tex_params,
+    vae_params,
+    cfg: TexGenConfig,
+    ref_image: np.ndarray,
+    unet_cfg: Optional[SDUNetConfig] = None,
+    vae_cfg: Optional[SDVAEConfig] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Reference image (H, W, 3) uint8 → (V, R, R, 3) float views in [0,1]."""
+    unet_cfg = unet_cfg or SDUNetConfig.multiview(cfg.num_views)
+    vae_cfg = vae_cfg or SDVAEConfig()
+    vae = SDAutoencoderKL(vae_cfg)
+    model = MultiviewTexGen(unet_cfg)
+
+    r = cfg.resolution
+    img = jnp.asarray(ref_image, jnp.float32) / 255.0 * 2.0 - 1.0
+    img = jax.image.resize(img, (r, r, 3), "bilinear")
+
+    @jax.jit
+    def encode(vae_params, img):
+        mean, _ = vae.apply(vae_params, img[None], method=SDAutoencoderKL.encode)
+        return mean[0] * vae_cfg.scaling_factor
+
+    ref_latent = encode(vae_params, img)
+    lh = ref_latent.shape[0]  # the VAE's own downsampling sets the grid
+    latents = ddim_sample(tex_params, model, ref_latent,
+                          (cfg.num_views, lh, lh, vae_cfg.latent_channels),
+                          cfg.steps, jax.random.PRNGKey(seed))
+
+    @jax.jit
+    def decode(vae_params, z):
+        return vae.apply(vae_params, z / vae_cfg.scaling_factor,
+                         method=SDAutoencoderKL.decode)
+
+    out = decode(vae_params, latents)
+    out = jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+    return np.asarray(jax.image.resize(
+        out, (cfg.num_views, r, r, 3), "bilinear"))
+
+
+def vae_down(vae_cfg: SDVAEConfig) -> int:
+    return 2 ** (len(vae_cfg.block_channels) - 1)
+
+
+def init_texgen(cfg: TexGenConfig, key=None,
+                unet_cfg: Optional[SDUNetConfig] = None,
+                vae_cfg: Optional[SDVAEConfig] = None):
+    """Random-init params (tests / weightless runs). Returns
+    (tex_params, vae_params, unet_cfg, vae_cfg)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    unet_cfg = unet_cfg or SDUNetConfig.multiview(cfg.num_views)
+    vae_cfg = vae_cfg or SDVAEConfig()
+    down = vae_down(vae_cfg)
+    lh = max(cfg.resolution // down, 1)
+    model = MultiviewTexGen(unet_cfg)
+    vae = SDAutoencoderKL(vae_cfg)
+    k1, k2 = jax.random.split(key)
+    tex_params = model.init(
+        k1, jnp.zeros((cfg.num_views, lh, lh, vae_cfg.latent_channels)),
+        jnp.zeros(()), jnp.zeros((lh, lh, vae_cfg.latent_channels)),
+        jnp.arange(cfg.num_views, dtype=jnp.int32))
+    vae_params = vae.init(k2, jnp.zeros((1, cfg.resolution, cfg.resolution,
+                                         3)))
+    return tex_params, vae_params, unet_cfg, vae_cfg
+
+
+def texture_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    ref_image: np.ndarray,
+    cfg: TexGenConfig,
+    tex_params,
+    vae_params,
+    unet_cfg: Optional[SDUNetConfig] = None,
+    vae_cfg: Optional[SDVAEConfig] = None,
+    texels_per_face: int = 8,
+    seed: int = 0,
+):
+    """Full texgen: generate the view ring, bake a texel atlas.
+
+    Returns (new_verts, new_faces, uvs, texture_png_bytes) — the
+    bake_texture_atlas output contract (GLB-ready)."""
+    from regen3d_tpu.pipeline.texture import bake_texture_atlas, orbit_views
+
+    views_imgs = generate_views(tex_params, vae_params, cfg, ref_image,
+                                unet_cfg, vae_cfg, seed)
+    center = verts.mean(0)
+    radius = 2.2 * float(np.abs(verts - center).max())
+    ring = orbit_views(center, radius, np.zeros(
+        (cfg.resolution, cfg.resolution, 3), np.float32),
+        n_views=cfg.num_views)
+    views = [(cam, views_imgs[i]) for i, (cam, _) in enumerate(ring)]
+    return bake_texture_atlas(verts, faces, views,
+                              texels_per_face=texels_per_face)

@@ -69,6 +69,19 @@ def full_init(family: str):
     if family == "shapevae":
         # tiny init shares the structure; full config via env of the caller
         return conversion.FAMILIES["shapevae"].tiny_init()
+    if family in ("sd_unet", "marigold"):
+        from regen3d_tpu.models.sd_unet import SDUNet, SDUNetConfig
+        c = SDUNetConfig.sd_x4()
+        m = SDUNet(c)
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, 128, 128, c.in_channels)),
+                           jnp.zeros((1,)), jnp.zeros((1, 77,
+                                                       c.cross_attn_dim))))
+    if family == "sd_vae":
+        from regen3d_tpu.models.sd_vae import SDAutoencoderKL, SDVAEConfig
+        m = SDAutoencoderKL(SDVAEConfig())
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, 256, 256, 3))))
     raise SystemExit(f"no full-size init wired for {family}")
 
 
