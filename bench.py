@@ -1,37 +1,70 @@
-"""Benchmark: phase-6 pose-fitting throughput (objects/second).
+"""Benchmark: phase-6 pose-fitting throughput + MFU + fidelity parity.
 
-Workload: 8 objects fitted simultaneously by the vmapped jitted engine,
-matching the reference's budget (image_size_DR=1024, ≤300 Adam iterations,
-config.yaml:274): a coarse-to-fine schedule — 250 iterations against the
-256² silhouette, then 50 full-resolution 1024² refinement iterations — on
-2048 faces and 2048 target points per object, using the MXU/VPU edge-
-function rasterizer with hoisted per-segment binning.
+Headline workload: 8 objects fitted simultaneously by the vmapped jitted
+engine, matching the reference's budget (image_size_DR=1024, ≤300 Adam
+iterations, config.yaml:274): a coarse-to-fine schedule — 250 iterations
+against the 256² silhouette, then 50 full-resolution 1024² refinement
+iterations — on 2048 faces and 2048 target points per object, using the
+MXU/VPU edge-function rasterizer with hoisted per-segment binning.
+
+FLOP accounting comes from XLA's own cost model
+(`compiled.cost_analysis()['flops']` per segment program, summed over the
+executed schedule); MFU divides by the chip's advertised bf16 peak
+(`PEAK_FLOPS` by device_kind), the standard denominator.
+
+Fidelity probe: the coarse-to-fine schedule is a DESIGN CHOICE, so its
+result quality is measured, not assumed — a second problem (2 objects,
+16384 undecimated faces) is fit twice: (a) the fast schedule, (b) the
+reference-fidelity schedule (sigma=5e-7 = config.yaml:307, ALL 300
+iterations at 1024²). Both results are scored by hard-raster silhouette
+IoU against the ground-truth masks; the JSON reports both IoUs and their
+ratio. A ratio ≈ 1 means the fast schedule loses nothing.
 
 Baseline: the reference runs one CUDA pose_matching process per object
 (≤300 Adam iters over a 1024² pytorch3d SoftSilhouette render, A40-class
-GPU, max 3 concurrent jobs/GPU — scene_reconstruction/run.py:88-96).
-Measured wall-clock for that setup is not published (BASELINE.md); we use a
-conservative 20 s/object effective estimate (A40, 3 jobs in flight).
+GPU, max 3 concurrent jobs/GPU — scene_reconstruction/run.py:88-96). It
+publishes NO timing (BASELINE.md), so the per-object wall-clock is an
+ESTIMATE RANGE [10, 40] s/object (A40, 3 jobs in flight; 20 s midpoint for
+the headline ratio). Measurement plan: run the reference's
+scene_reconstruction/run.py on an A40 with its own per-phase timing prints
+(run.py:199) on the shipped input_images/2400.jpg scene and replace the
+range with the measured number — tracked in BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+"flops", "mfu", "fidelity_*", "baseline_range_s_per_object"}.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_SEC_PER_OBJECT = 20.0  # documented estimate, see module docstring
+REF_SEC_PER_OBJECT_RANGE = (10.0, 40.0)   # unmeasured estimate, see docstring
+REF_SEC_PER_OBJECT = 20.0                 # midpoint for the headline ratio
 
-B = 8           # objects in the batch
+# advertised bf16 peak per chip (dense), the standard MFU denominator
+PEAK_FLOPS = {
+    "TPU v2": 22.5e12, "TPU v3": 61.5e12, "TPU v4": 137.5e12,
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 229.5e12,
+    "TPU v5p": 229.5e12, "TPU v6 lite": 459e12, "TPU v6e": 459e12,
+}
+
+B = 8           # objects in the headline batch
 N_FACES = 2048
 N_POINTS = 2048
 IMG = 1024      # reference image_size_DR (config.yaml:274)
 ITERS = 300
+SEG = 50        # iterations per device program (tunnel watchdog, CLAUDE.md)
+
+FID_B = 2            # fidelity-probe objects
+FID_FACES = 16384    # undecimated budget (reference remesh target 50k,
+#                      config.yaml:173; 16k stresses the same regime)
+FID_SEG = 10
 
 
 def _random_blobs(rng, b, n_faces):
@@ -43,123 +76,190 @@ def _random_blobs(rng, b, n_faces):
         v = rng.normal(size=(n_verts, 3)).astype(np.float32)
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         v *= (0.3 + 0.1 * rng.random((n_verts, 1))).astype(np.float32)
-        # faces from random nearby triples (a triangle soup is fine for the
-        # rasterizer/point-mesh workload; topology doesn't matter for perf)
         f = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32)
         verts.append(v)
         faces.append(f)
     return np.stack(verts), np.stack(faces)
 
 
-def main():
-    from regen3d_tpu.camera import Camera
-    from regen3d_tpu.pipeline.pose_fit import (
-        FitConfig, ObjectBatch, PoseParams, fit_poses)
+def _gt_masks_device(verts_np, faces_np, cam, img):
+    """Exact hard-raster GT masks on device (setup, not measured path)."""
+    from regen3d_tpu.ops.rasterize import rasterize_hard
 
-    rng = np.random.default_rng(1234567)
-    verts, faces = _random_blobs(rng, B, N_FACES)
-    gt_shift = rng.normal(size=(B, 3)).astype(np.float32) * 0.2 + [0, 0, 2.5]
+    masks = []
+    for i in range(len(verts_np)):
+        vs = cam.view_to_screen(cam.world_to_view(jnp.asarray(verts_np[i])))
+        frag = rasterize_hard(vs, jnp.asarray(faces_np[i]), (img, img),
+                              chunk=512)
+        masks.append(np.asarray((frag.face_idx >= 0).astype(np.float32)))
+    return np.stack(masks)
 
-    cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
-                 focal=jnp.asarray([float(IMG), float(IMG)]),
-                 principal=jnp.asarray([IMG / 2.0, IMG / 2.0]),
-                 image_size=(IMG, IMG))
 
-    # synthetic supervision, built host-side in numpy: this is benchmark
-    # setup, not the measured path — keep device compile budget for the fit.
-    gt_verts_np = verts + gt_shift[:, None, :]
-    masks = np.zeros((B, IMG, IMG), np.float32)
-    pts = np.zeros((B, N_POINTS, 3), np.float32)
-    for i in range(B):
-        v = gt_verts_np[i]
-        u = IMG / 2.0 + IMG * v[:, 0] / v[:, 2]
-        w_ = IMG / 2.0 + IMG * v[:, 1] / v[:, 2]
-        tri = np.stack([u, w_], -1)[faces[i]]          # (F, 3, 2)
-        for t in tri:
-            lo = np.maximum(np.floor(t.min(0)).astype(int), 0)
-            hi = np.minimum(np.ceil(t.max(0)).astype(int) + 1, IMG)
-            if np.any(hi <= lo):
-                continue
-            xs = np.arange(lo[0], hi[0]) + 0.5
-            ys = np.arange(lo[1], hi[1]) + 0.5
-            px, py = np.meshgrid(xs, ys)
-            d = np.stack([px, py], -1) - t[0]
-            e1, e2 = t[1] - t[0], t[2] - t[0]
-            det = e1[0] * e2[1] - e1[1] * e2[0]
-            if abs(det) < 1e-9:
-                continue
-            a = (d[..., 0] * e2[1] - d[..., 1] * e2[0]) / det
-            b_ = (d[..., 1] * e1[0] - d[..., 0] * e1[1]) / det
-            inside = (a >= 0) & (b_ >= 0) & (a + b_ <= 1)
-            masks[i, lo[1]:hi[1], lo[0]:hi[0]][inside] = 1.0
-        # area-weighted surface samples
-        tri3 = v[faces[i]]
+def _surface_samples(rng, verts_np, faces_np, n_points):
+    pts = np.zeros((len(verts_np), n_points, 3), np.float32)
+    for i, v in enumerate(verts_np):
+        tri3 = v[faces_np[i]]
         areas = 0.5 * np.linalg.norm(
-            np.cross(tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]), axis=-1)
-        probs = areas / areas.sum()
-        fidx = rng.choice(len(probs), N_POINTS, p=probs)
-        r1, r2 = rng.random(N_POINTS), rng.random(N_POINTS)
+            np.cross(tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]),
+            axis=-1)
+        probs = areas / max(areas.sum(), 1e-12)
+        fidx = rng.choice(len(probs), n_points, p=probs)
+        r1, r2 = rng.random(n_points), rng.random(n_points)
         s = np.sqrt(r1)
         bw = np.stack([1 - s, s * (1 - r2), s * r2], -1)[:, :, None]
         pts[i] = (tri3[fidx] * bw).sum(1)
-    masks = jnp.asarray(masks)
-    pts = jnp.asarray(pts)
+    return pts
 
+
+def _make_problem(rng, b, n_faces, n_points, img):
+    from regen3d_tpu.camera import Camera
+    from regen3d_tpu.pipeline.pose_fit import ObjectBatch, PoseParams
+
+    verts, faces = _random_blobs(rng, b, n_faces)
+    gt_shift = rng.normal(size=(b, 3)).astype(np.float32) * 0.2 + [0, 0, 2.5]
+    cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                 focal=jnp.asarray([float(img), float(img)]),
+                 principal=jnp.asarray([img / 2.0, img / 2.0]),
+                 image_size=(img, img))
+    gt_verts = verts + gt_shift[:, None, :]
+    masks = _gt_masks_device(gt_verts, faces, cam, img)
+    pts = _surface_samples(rng, gt_verts, faces, n_points)
     batch = ObjectBatch(
         verts=jnp.asarray(verts),
         verts_mask=jnp.ones(verts.shape[:2], bool),
         faces=jnp.asarray(faces),
         faces_mask=jnp.ones(faces.shape[:2], bool),
-        target_mask=masks,
-        target_points=pts,
+        target_mask=jnp.asarray(masks),
+        target_points=jnp.asarray(pts),
         points_mask=jnp.ones(pts.shape[:2], bool),
-        pivot_R=jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
-        pivot_t=jnp.zeros((B, 3)),
-        on_floor=jnp.zeros(B, bool),
-        object_valid=jnp.ones(B, bool),
+        pivot_R=jnp.tile(jnp.eye(3)[None], (b, 1, 1)),
+        pivot_t=jnp.zeros((b, 3)),
+        on_floor=jnp.zeros(b, bool),
+        object_valid=jnp.ones(b, bool),
         bbox_lo=jnp.asarray([-10.0, -10.0, 0.0]),
         bbox_hi=jnp.asarray([10.0, 10.0, 20.0]),
     )
-    # Coarse-to-fine, segmented: 250 iters at 256² then 50 at 1024². Each
-    # device program covers SEG iterations and resumes from the previous
-    # params (long single executions can trip this image's device-tunnel
-    # watchdog; Adam momentum restarts per segment, as on any resume).
-    SEG = 50
+    init = PoseParams.zeros(b)._replace(
+        translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (b, 1)))
+    return batch, cam, init, masks
+
+
+def _make_cfg(res_hw, sigma, seg, tile=32, k=64):
+    from regen3d_tpu.pipeline.pose_fit import FitConfig
+    return FitConfig(image_hw=res_hw, sigma=sigma, max_iterations=seg,
+                     early_stop_min_iters=seg,  # full budget (perf run)
+                     learning_rate=0.005, face_chunk=256, point_chunk=2048,
+                     record_history=False, use_edge_raster=True,
+                     bin_tile=tile, faces_per_tile=k, bin_margin_px=48.0)
+
+
+def _coarse(batch, cam, img, coarse):
+    masks = batch.target_mask
+    cm = masks.reshape(masks.shape[0], coarse, img // coarse,
+                       coarse, img // coarse).max(axis=(2, 4))
+    return batch._replace(target_mask=cm), cam.rescaled(coarse, coarse)
+
+
+def _flops_of(fn, *args) -> float:
+    """XLA's cost-model flops for one execution of fn(*args)."""
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        d = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(d.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _iou(pred_masks: np.ndarray, gt_masks: np.ndarray) -> float:
+    inter = np.logical_and(pred_masks > 0.5, gt_masks > 0.5).sum()
+    union = np.logical_or(pred_masks > 0.5, gt_masks > 0.5).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+def _render_final(params, batch, cam, img):
+    from regen3d_tpu.ops.rasterize import rasterize_hard
+    from regen3d_tpu.pipeline.pose_fit import FitConfig, pose_transform
+
+    v = pose_transform(params, batch, FitConfig(image_hw=(img, img)))
+    outs = []
+    for i in range(v.shape[0]):
+        vs = cam.view_to_screen(cam.world_to_view(v[i]))
+        frag = rasterize_hard(vs, batch.faces[i], (img, img), chunk=512)
+        outs.append(np.asarray((frag.face_idx >= 0).astype(np.float32)))
+    return np.stack(outs)
+
+
+def main():
+    from regen3d_tpu.pipeline.pose_fit import fit_poses
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+
+    rng = np.random.default_rng(1234567)
+
+    # ---------- headline: throughput + MFU (coarse-to-fine schedule) -------
+    batch, cam, init, _gt = _make_problem(rng, B, N_FACES, N_POINTS, IMG)
     COARSE = 256
-    coarse_masks = masks.reshape(B, COARSE, IMG // COARSE,
-                                 COARSE, IMG // COARSE).max(axis=(2, 4))
-    cam_c = cam.rescaled(COARSE, COARSE)
-    batch_c = batch._replace(target_mask=jnp.asarray(coarse_masks))
+    batch_c, cam_c = _coarse(batch, cam, IMG, COARSE)
+    cfg_c = _make_cfg((COARSE, COARSE), 1e-5, SEG)
+    cfg_f = _make_cfg((IMG, IMG), 1e-5, SEG)
 
-    def make_cfg(res_hw, tile, k):
-        return FitConfig(image_hw=res_hw, sigma=1e-5, max_iterations=SEG,
-                         early_stop_min_iters=SEG,  # full budget (perf run)
-                         learning_rate=0.005, face_chunk=256, point_chunk=2048,
-                         record_history=False, use_edge_raster=True,
-                         bin_tile=tile, faces_per_tile=k, bin_margin_px=48.0)
+    fit_c = lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params
+    fit_f = lambda p: fit_poses(p, batch, cam, cfg_f).params
+    # compile + warmup (np.asarray forces a synchronous fetch — the tunnel's
+    # block_until_ready can return early, CLAUDE.md)
+    np.asarray(fit_c(init).translation)
+    np.asarray(fit_f(init).translation)
+    flops_c = _flops_of(fit_c, init)
+    flops_f = _flops_of(fit_f, init)
 
-    cfg_c = make_cfg((COARSE, COARSE), 32, 64)
-    cfg_f = make_cfg((IMG, IMG), 32, 64)
-    init = PoseParams.zeros(B)._replace(
-        translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (B, 1)))
-
-    # compile + warmup both programs (np.asarray forces a synchronous fetch —
-    # block_until_ready can return early through the device tunnel)
-    np.asarray(fit_poses(init, batch_c, cam_c, cfg_c).params.translation)
-    np.asarray(fit_poses(init, batch, cam, cfg_f).params.translation)
-
+    n_seg_c = 250 // SEG
+    n_seg_f = (ITERS - 250) // SEG
     t0 = time.time()
     params = init
-    for _seg in range(250 // SEG):
-        params = fit_poses(params, batch_c, cam_c, cfg_c).params
+    for _ in range(n_seg_c):
+        params = fit_c(params)
         np.asarray(params.translation)
-    for _seg in range((ITERS - 250) // SEG):
-        params = fit_poses(params, batch, cam, cfg_f).params
+    for _ in range(n_seg_f):
+        params = fit_f(params)
         np.asarray(params.translation)
     dt = time.time() - t0
 
-    sec_per_object = dt / B
+    total_flops = n_seg_c * flops_c + n_seg_f * flops_f
     objects_per_sec = B / dt
+    # NOTE this workload is rasterization-shaped: wall-time is dominated by
+    # gather/select/memory traffic, not MXU arithmetic, so MFU is honestly
+    # tiny — the meaningful efficiency axis is objects/sec. Report achieved
+    # GFLOP/s alongside so the number is falsifiable either way.
+    mfu = (total_flops / dt / peak) if peak else None
+    gflops_achieved = total_flops / dt / 1e9
+
+    # ---------- fidelity probe: fast schedule vs reference fidelity --------
+    rng2 = np.random.default_rng(7654321)
+    fbatch, fcam, finit, fgt = _make_problem(rng2, FID_B, FID_FACES,
+                                             N_POINTS, IMG)
+    fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
+    fcfg_c = _make_cfg((COARSE, COARSE), 1e-5, SEG, k=128)
+    fcfg_f = _make_cfg((IMG, IMG), 1e-5, FID_SEG, k=128)
+    # reference fidelity: sigma 5e-7 (config.yaml:307), every iteration 1024²
+    fcfg_ref = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
+
+    pf = finit
+    for _ in range(250 // SEG):
+        pf = fit_poses(pf, fbatch_c, fcam_c, fcfg_c).params
+        np.asarray(pf.translation)
+    for _ in range((ITERS - 250) // FID_SEG):
+        pf = fit_poses(pf, fbatch, fcam, fcfg_f).params
+        np.asarray(pf.translation)
+
+    pr = finit
+    for _ in range(ITERS // FID_SEG):
+        pr = fit_poses(pr, fbatch, fcam, fcfg_ref).params
+        np.asarray(pr.translation)
+
+    iou_fast = _iou(_render_final(pf, fbatch, fcam, IMG), fgt)
+    iou_ref = _iou(_render_final(pr, fbatch, fcam, IMG), fgt)
+
     print(json.dumps({
         "metric": f"pose-fit objects/sec (B={B}, {ITERS} Adam iters "
                   f"coarse-to-fine 256->1024^2 silhouette, {N_FACES} faces, "
@@ -167,13 +267,27 @@ def main():
         "value": round(objects_per_sec, 4),
         "unit": "objects/sec",
         "vs_baseline": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
+        "baseline_range_s_per_object": list(REF_SEC_PER_OBJECT_RANGE),
+        "vs_baseline_low": round(objects_per_sec
+                                 * REF_SEC_PER_OBJECT_RANGE[0], 3),
+        "vs_baseline_high": round(objects_per_sec
+                                  * REF_SEC_PER_OBJECT_RANGE[1], 3),
+        "flops": total_flops,
+        "mfu": round(mfu, 8) if mfu is not None else None,
+        "gflops_achieved": round(gflops_achieved, 2),
+        "device_kind": kind,
+        "peak_flops_bf16": peak,
+        "fidelity_iou_fast": round(iou_fast, 4),
+        "fidelity_iou_reference_schedule": round(iou_ref, 4),
+        "fidelity_ratio": round(iou_fast / max(iou_ref, 1e-9), 4),
+        "fidelity_probe": f"B={FID_B}, {FID_FACES} undecimated faces, "
+                          f"ref schedule = sigma 5e-7, all {ITERS} @ 1024^2",
     }))
 
 
 def main_with_recovery(attempts: int = 3) -> None:
     """The device tunnel on this image occasionally drops the TPU worker
     (it recovers within ~1 min); retry rather than fail the bench run."""
-    import sys
     import traceback
 
     for i in range(attempts):

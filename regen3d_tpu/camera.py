@@ -83,6 +83,17 @@ class Camera(NamedTuple):
         v = self.principal[1] - self.focal[1] * points_view[..., 1] / z_safe
         return jnp.stack([u, v, z], axis=-1)
 
+    def pixel_rays_world(self, xx: jnp.ndarray, yy: jnp.ndarray
+                         ) -> jnp.ndarray:
+        """Unit world-space ray directions through pixels (xx, yy) — the
+        inverse of the P3D-sign pinhole in :meth:`project` (z = +1 view
+        plane, rotated to world). Used for environment-map backgrounds."""
+        x = (self.principal[0] - xx) / self.focal[0]
+        y = (self.principal[1] - yy) / self.focal[1]
+        d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) @ self.R.T
+        return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                               1e-8)
+
     def rescaled(self, height: int, width: int) -> "Camera":
         """New camera for a different render resolution.
 

@@ -164,7 +164,9 @@ def face_edge_coeffs(tri2: jnp.ndarray) -> jnp.ndarray:
     v0 = tri2
     v1 = jnp.roll(tri2, -1, axis=1)
     d = v1 - v0                                    # (F, 3, 2)
-    length = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-12)
+    # eps-INSIDE the sqrt: plain norm has a NaN gradient at zero-length
+    # (degenerate) edges, and a max() clamp doesn't stop the chain rule
+    length = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
     # inward normal for CCW: rotate d by +90° = (-dy, dx); orientation fix
     n = jnp.stack([-d[..., 1], d[..., 0]], axis=-1) / length[..., None]
     c = -jnp.sum(n * v0, axis=-1)                  # (F, 3)
@@ -227,6 +229,12 @@ def soft_silhouette_edge(
     fmask = jnp.ones(faces.shape[0], bool) if faces_mask is None else faces_mask
     ok = fmask & jnp.all(tri[..., 2] > znear, axis=-1)
     tri2 = tri[..., :2] * ndc
+    # drop zero-area (degenerate) faces: their edge distances are 0
+    # everywhere, which would darken the whole tile
+    area2 = ((tri2[:, 1, 0] - tri2[:, 0, 0]) * (tri2[:, 2, 1] - tri2[:, 0, 1])
+             - (tri2[:, 1, 1] - tri2[:, 0, 1])
+             * (tri2[:, 2, 0] - tri2[:, 0, 0]))
+    ok = ok & (jnp.abs(area2) > 1e-14)
     coeffs = face_edge_coeffs(tri2)                # (F, 3, 3)
 
     if bins is None:

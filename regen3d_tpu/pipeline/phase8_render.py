@@ -11,8 +11,15 @@ image) a TPU software renderer produces the same artifact set:
     rendering/render_cam1.png, render_cam1_white_bg.png, render_cam2.png
     (+ the camera contract consumed by phase 9).
 
-The software path: hard z-buffer rasterization + Phong shading + bilinear
-texture sampling + a simple tone map, all jitted JAX.
+The software path (all jitted JAX): hard z-buffer rasterization →
+TEXEL-SPACE texture sampling (per-pixel barycentric UV interpolation +
+bilinear atlas fetch — not vertex-baked colors) → GGX metallic/roughness
+shading (the reference's global metallic/roughness + *_strength keys,
+config.yaml:325-384) → HDRI world (equirect background with
+hdri_rotation/hdri_strength/hdri_white_bg semantics, run.py:279-354; a
+Radiance .hdr loader lives in utils/image.py) → Filmic tone map with
+exposure/gamma/look (set_color_management, run.py:376-384) → white-bg
+composites.
 """
 
 from __future__ import annotations
@@ -39,80 +46,234 @@ from regen3d_tpu.utils.meshproc import vertex_normals
 log = logging.getLogger(__name__)
 
 
-def _load_scene_for_render(paths: List[str]):
-    """Flatten GLBs → packed (verts, faces, normals, colors, uvs, tex)."""
+class PackedScene:
+    """Flattened multi-GLB scene with a stacked texture atlas.
+
+    Per-mesh textures are resized to a common tile and stacked vertically;
+    vertex UVs are remapped into the atlas (v' = (v + tile_row)/n_tiles).
+    Untextured meshes carry base/vertex colors with tex_weight 0."""
+
+    def __init__(self, verts, faces, normals, colors, uvs, tex_weight,
+                 metallic, roughness, atlas):
+        self.verts = verts
+        self.faces = faces
+        self.normals = normals
+        self.colors = colors          # (V, 3) fallback colors
+        self.uvs = uvs                # (V, 2) atlas UVs
+        self.tex_weight = tex_weight  # (V, 1) 1 = sample atlas
+        self.metallic = metallic      # (V, 1)
+        self.roughness = roughness    # (V, 1)
+        self.atlas = atlas            # (N*T, T, 3) float or None
+
+
+def _load_scene_for_render(paths: List[str], cfg: Optional[Config] = None,
+                           tile: int = 256) -> Optional[PackedScene]:
     meshes: List[MeshData] = []
     for p in paths:
         if os.path.exists(p):
             meshes += load_glb(p).meshes
     if not meshes:
         return None
-    verts, faces, colors, texinfo = [], [], [], []
+    g_metal = float(cfg.get("metallic", 0.2)) if cfg else 0.2
+    g_rough = float(cfg.get("roughness", 0.5)) if cfg else 0.5
+    m_strength = float(cfg.get("metallic_strength", 1.0)) if cfg else 1.0
+    r_strength = float(cfg.get("roughness_strength", 1.0)) if cfg else 1.0
+
+    from PIL import Image
+    textured = [m for m in meshes if m.texture_png is not None
+                and m.uvs is not None]
+    tiles = []
+    tile_of = {}
+    for m in textured:
+        tex = np.asarray(Image.open(io.BytesIO(m.texture_png))
+                         .convert("RGB").resize((tile, tile)),
+                         np.float32) / 255.0
+        tile_of[id(m)] = len(tiles)
+        tiles.append(tex)
+    atlas = np.concatenate(tiles, axis=0) if tiles else None
+    n_tiles = max(len(tiles), 1)
+
+    verts, faces, colors, uvs, tw, met, rgh = [], [], [], [], [], [], []
     off = 0
-    textures = []
     for m in meshes:
         v = m.vertices
         f = m.faces + off
-        n = m.normals if m.normals is not None else vertex_normals(v, m.faces)
         base = m.base_color[:3] if m.base_color is not None else np.asarray(
             [0.7, 0.7, 0.7])
-        if m.vertex_colors is not None:
-            col = m.vertex_colors[:, :3]
+        col = (m.vertex_colors[:, :3] if m.vertex_colors is not None
+               else np.tile(base[None].astype(np.float32), (len(v), 1)))
+        if id(m) in tile_of:
+            row = tile_of[id(m)]
+            # clip (not modulo) — a modulo wraps the legitimate u/v == 1.0
+            # edge coordinate to 0, smearing the opposite texture border
+            uu = np.clip(m.uvs[:, 0], 0.0, 1.0)
+            vv = np.clip(m.uvs[:, 1], 0.0, 1.0)
+            uv = np.stack([uu, (vv + row) / n_tiles], -1)
+            w_ = np.ones((len(v), 1), np.float32)
         else:
-            col = np.tile(base[None].astype(np.float32), (len(v), 1))
-        # texture: sample at UVs host-side into per-vertex colors (cheap
-        # approximation of full texel-space shading for the fallback path)
-        if m.texture_png is not None and m.uvs is not None:
-            from PIL import Image
-            tex = np.asarray(Image.open(io.BytesIO(m.texture_png)).convert("RGB"),
-                             np.float32) / 255.0
-            th, tw = tex.shape[:2]
-            u = np.clip((m.uvs[:, 0] % 1.0) * (tw - 1), 0, tw - 1)
-            vv = np.clip((m.uvs[:, 1] % 1.0) * (th - 1), 0, th - 1)
-            col = tex[vv.astype(int), u.astype(int)]
+            uv = np.zeros((len(v), 2), np.float32)
+            w_ = np.zeros((len(v), 1), np.float32)
+        # per-mesh material: GLB factors scaled by the reference's global
+        # strength keys, defaulting to the global scene values
+        mm = getattr(m, "metallic", g_metal)
+        rr = getattr(m, "roughness", g_rough)
+        met.append(np.full((len(v), 1), float(mm) * m_strength, np.float32))
+        rgh.append(np.full((len(v), 1),
+                           np.clip(float(rr) * r_strength, 0.03, 1.0),
+                           np.float32))
         verts.append(v)
         faces.append(f)
         colors.append(col.astype(np.float32))
+        uvs.append(uv.astype(np.float32))
+        tw.append(w_)
         off += len(v)
     allv = np.concatenate(verts)
     allf = np.concatenate(faces).astype(np.int32)
     alln = vertex_normals(allv, allf)
-    allc = np.concatenate(colors)
-    return allv, allf, alln, allc
+    return PackedScene(allv, allf, alln, np.concatenate(colors),
+                       np.concatenate(uvs), np.concatenate(tw),
+                       np.concatenate(met), np.concatenate(rgh), atlas)
 
 
 def tone_map(img: np.ndarray, exposure: float = 0.4, gamma: float = 0.8,
-             view_transform: str = "Filmic") -> np.ndarray:
+             view_transform: str = "Filmic",
+             look: str = "Low Contrast") -> np.ndarray:
     """Color management (reference: set_color_management,
-    blender_rendering/run.py:376-384 — Filmic + exposure/gamma keys).
+    blender_rendering/run.py:376-384 — view_transform/look/exposure/gamma).
 
-    Filmic approximated by the Hejl/Burgess-style filmic curve; 'Standard'
-    passes through. Input/output in [0, 1]."""
-    x = np.clip(img, 0.0, 1.0) * (2.0 ** exposure)
+    Filmic approximated by the Hejl/Burgess-style filmic curve; the 'look'
+    applies a contrast S-curve around mid-grey (Low/Medium/High Contrast);
+    'Standard' passes linear through. HDR input ≥ 0, output in [0, 1]."""
+    x = np.maximum(img, 0.0) * (2.0 ** exposure)
     if view_transform.lower() == "filmic":
         x = np.maximum(x - 0.004, 0.0)
         x = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
+    contrast = {"very low contrast": 0.7, "low contrast": 0.85,
+                "medium contrast": 1.0, "none": 1.0,
+                "high contrast": 1.25,
+                "very high contrast": 1.5}.get(look.lower(), 1.0)
+    if contrast != 1.0:
+        x = np.clip(x, 0.0, 1.0)
+        x = 0.5 + np.tanh((x - 0.5) * 2 * contrast) / max(
+            2 * np.tanh(contrast), 1e-6)
     out = np.clip(x, 0.0, 1.0) ** (1.0 / max(gamma, 1e-3))
     return np.clip(out, 0.0, 1.0)
 
 
-def render_view(cam: Camera, verts, faces, normals, colors,
-                background: float = 1.0, chunk: int = 512) -> np.ndarray:
-    """One software-rendered frame (H, W, 3) in [0, 1]."""
-    from regen3d_tpu.ops.rasterize import phong_shade
+def _bilinear_sample(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch tex (TH, TW, 3) at uv (..., 2) in [0, 1]."""
+    th, tw = tex.shape[:2]
+    x = jnp.clip(uv[..., 0] * tw - 0.5, 0.0, tw - 1.0)
+    y = jnp.clip(uv[..., 1] * th - 0.5, 0.0, th - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, tw - 1)
+    y1 = jnp.minimum(y0 + 1, th - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    return ((tex[y0, x0] * (1 - fx) + tex[y0, x1] * fx) * (1 - fy)
+            + (tex[y1, x0] * (1 - fx) + tex[y1, x1] * fx) * fy)
+
+
+def _sample_equirect(env: jnp.ndarray, d: jnp.ndarray,
+                     rotation_deg: float) -> jnp.ndarray:
+    """Equirect HDRI lookup along directions d (..., 3); Blender-style Z
+    rotation of the mapping node (setup_hdri, run.py:46)."""
+    rot = jnp.deg2rad(rotation_deg)
+    x = d[..., 0] * jnp.cos(rot) - d[..., 2] * jnp.sin(rot)
+    z = d[..., 0] * jnp.sin(rot) + d[..., 2] * jnp.cos(rot)
+    y = d[..., 1]
+    u = (jnp.arctan2(x, -z) / (2 * jnp.pi)) % 1.0
+    v = jnp.clip(0.5 - jnp.arcsin(jnp.clip(y, -1, 1)) / jnp.pi, 0.0, 1.0)
+    return _bilinear_sample(env, jnp.stack([u, v], -1))
+
+
+def _ggx_shade(base, metallic, roughness, n, v, l, light_col, ambient_col):
+    """Single-light GGX metallic-roughness BRDF + ambient irradiance
+    (the Principled-BSDF role for the reference's metallic/roughness keys)."""
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    ndl = jnp.clip(jnp.sum(n * l, -1, keepdims=True), 0.0, 1.0)
+    ndv = jnp.clip(jnp.sum(n * v, -1, keepdims=True), 1e-4, 1.0)
+    ndh = jnp.clip(jnp.sum(n * h, -1, keepdims=True), 0.0, 1.0)
+    vdh = jnp.clip(jnp.sum(v * h, -1, keepdims=True), 0.0, 1.0)
+    a = jnp.maximum(roughness, 0.03) ** 2
+    a2 = a * a
+    D = a2 / jnp.maximum(jnp.pi * ((ndh * ndh * (a2 - 1) + 1) ** 2), 1e-8)
+    k = (roughness + 1) ** 2 / 8.0
+    G = (ndl / jnp.maximum(ndl * (1 - k) + k, 1e-8)) * \
+        (ndv / jnp.maximum(ndv * (1 - k) + k, 1e-8))
+    f0 = 0.04 * (1 - metallic) + base * metallic
+    F = f0 + (1 - f0) * (1 - vdh) ** 5
+    spec = D * G * F / jnp.maximum(4 * ndl * ndv, 1e-8)
+    diffuse = base * (1 - metallic) / jnp.pi
+    direct = (diffuse + spec) * light_col * ndl * jnp.pi
+    ambient = (diffuse * jnp.pi + f0 * 0.5) * ambient_col
+    return direct + ambient
+
+
+def render_view(cam: Camera, scene: PackedScene, cfg: Optional[Config] = None,
+                chunk: int = 512, env: Optional[np.ndarray] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """One software-rendered frame (H, W, 3) linear + hit mask.
+
+    Texel-space texture sampling (per-pixel UV interpolation + bilinear
+    atlas fetch), GGX PBR shading, HDRI environment background."""
+    hdri_strength = float(cfg.get("hdri_strength", 1.0)) if cfg else 1.0
+    hdri_rotation = float(cfg.get("hdri_rotation", 0.0)) if cfg else 0.0
+    white_bg = bool(cfg.get("hdri_white_bg", False)) if cfg else False
+
+    atlas = (jnp.asarray(scene.atlas) if scene.atlas is not None
+             else jnp.ones((2, 2, 3)))
+    env_map = (jnp.asarray(env) if env is not None
+               else jnp.ones((2, 4, 3)))
+    # ambient irradiance: mean of the environment (one-bounce approximation)
+    ambient_col = jnp.mean(env_map.reshape(-1, 3), axis=0) * hdri_strength
 
     @jax.jit
-    def _render(verts, faces, normals, colors):
+    def _render(verts, faces, normals, colors, uvs, tw, met, rgh):
         vs = cam.view_to_screen(cam.world_to_view(verts))
         frag = rasterize_hard(vs, faces, cam.image_size, chunk=chunk)
-        eye = cam.center
-        img = phong_shade(frag, faces, verts, normals, colors,
-                          light_pos=eye + jnp.asarray([0.0, 2.0, 0.0]),
-                          camera_pos=eye, background=background)
-        return img, frag.face_idx >= 0
+        pos = interpolate_attributes(frag, faces, verts)
+        nrm = interpolate_attributes(frag, faces, normals)
+        col = interpolate_attributes(frag, faces, colors)
+        uv = interpolate_attributes(frag, faces, uvs)
+        w_tex = interpolate_attributes(frag, faces, tw)
+        metallic = interpolate_attributes(frag, faces, met)
+        roughness = interpolate_attributes(frag, faces, rgh)
 
-    img, hit = _render(jnp.asarray(verts), jnp.asarray(faces),
-                       jnp.asarray(normals), jnp.asarray(colors))
+        tex_col = _bilinear_sample(atlas, uv)
+        base = col * (1 - w_tex) + tex_col * w_tex
+
+        n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+        eye = cam.center
+        vdir = eye - pos
+        vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True),
+                                  1e-8)
+        n = n * jnp.sign(jnp.sum(n * vdir, -1, keepdims=True) + 1e-12)
+        ldir = (eye + jnp.asarray([0.0, 2.0, 0.0])) - pos
+        ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True),
+                                  1e-8)
+        shaded = _ggx_shade(base, metallic, roughness, n, vdir, ldir,
+                            jnp.asarray([0.9, 0.9, 0.9]), ambient_col)
+
+        # background: HDRI along camera rays (or white)
+        hit = frag.face_idx >= 0
+        h, w = cam.image_size
+        yy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+        xx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
+        rays = cam.pixel_rays_world(xx, yy)
+        bg = _sample_equirect(env_map, rays, hdri_rotation) * hdri_strength
+        if white_bg or env is None:
+            bg = jnp.ones_like(bg)
+        img = jnp.where(hit[..., None], shaded, bg)
+        return img, hit
+
+    img, hit = _render(jnp.asarray(scene.verts), jnp.asarray(scene.faces),
+                       jnp.asarray(scene.normals), jnp.asarray(scene.colors),
+                       jnp.asarray(scene.uvs), jnp.asarray(scene.tex_weight),
+                       jnp.asarray(scene.metallic),
+                       jnp.asarray(scene.roughness))
     return np.asarray(img), np.asarray(hit)
 
 
@@ -124,12 +285,11 @@ def run(cfg: Config) -> List[str]:
     if blender and not bool(cfg.get("force_software_render", False)):
         return _run_blender(cfg, blender)
 
-    packed = _load_scene_for_render([art.combined_scene_glb,
-                                     art.ground_aligned_glb])
-    if packed is None:
+    scene = _load_scene_for_render([art.combined_scene_glb,
+                                    art.ground_aligned_glb], cfg)
+    if scene is None:
         log.warning("phase8: nothing to render")
         return []
-    verts, faces, normals, colors = packed
 
     res = int(cfg.get("render_resolution", 768))
     cam1 = camera_from_npz(art.camera_npz)
@@ -140,22 +300,35 @@ def run(cfg: Config) -> List[str]:
     exposure = float(cfg.get("exposure", 0.4))
     gamma = float(cfg.get("gamma", 0.8))
     view_tf = str(cfg.get("view_transform", "Filmic"))
+    look = str(cfg.get("look", "Low Contrast"))
 
-    img1, hit1 = render_view(cam1, verts, faces, normals, colors)
-    img1 = tone_map(img1, exposure, gamma, view_tf)
+    env = None
+    hdri_path = cfg.path("hdri_path") if cfg.get("hdri_path") else None
+    if hdri_path and os.path.exists(hdri_path):
+        from regen3d_tpu.utils.image import load_hdr
+        try:
+            env = load_hdr(hdri_path)
+            log.info("phase8: HDRI world %s (%dx%d)", hdri_path,
+                     env.shape[1], env.shape[0])
+        except Exception as e:
+            log.warning("phase8: HDRI load failed (%s) — white world", e)
+
+    img1, hit1 = render_view(cam1, scene, cfg, env=env)
+    img1 = tone_map(img1, exposure, gamma, view_tf, look)
     save_image(os.path.join(art.rendering_dir, "render_cam1.png"), img1)
     white = img1.copy()
     white[~hit1] = 1.0
     save_image(os.path.join(art.rendering_dir, "render_cam1_white_bg.png"), white)
 
     # bird-eye second camera above the scene centroid
+    verts = scene.verts
     center = verts.mean(0)
     extent = float(np.linalg.norm(verts.max(0) - verts.min(0)))
     eye = center + np.asarray([0.3 * extent, 1.2 * extent, -0.3 * extent])
     cam2 = lookat_camera(eye, center, (res, res), focal_px=res * 1.0)
-    img2, _ = render_view(cam2, verts, faces, normals, colors)
+    img2, _ = render_view(cam2, scene, cfg, env=env)
     save_image(os.path.join(art.rendering_dir, "render_cam2.png"),
-               tone_map(img2, exposure, gamma, view_tf))
+               tone_map(img2, exposure, gamma, view_tf, look))
 
     out = [os.path.join(art.rendering_dir, n) for n in
            ("render_cam1.png", "render_cam1_white_bg.png", "render_cam2.png")]

@@ -190,3 +190,70 @@ def save_gif(path: str, frames: List[np.ndarray], fps: int = 10) -> None:
     if imgs:
         imgs[0].save(path, save_all=True, append_images=imgs[1:],
                      duration=int(1000 / fps), loop=0)
+
+
+def load_hdr(path: str) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) loader → (H, W, 3) float32 linear.
+
+    Supports the common '-Y H +X W' layout with new-style RLE scanlines
+    (what HDRI-haven files use — the reference's hdri_path assets,
+    config.yaml:370-371). No dependency on imageio/OpenCV."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError("not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n"):
+                break
+        dims = f.readline().split()
+        if dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"unsupported HDR layout: {dims}")
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if (pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == w):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count > 128:           # run
+                        rgbe[y, x:x + count - 128, c] = data[pos]
+                        pos += 1
+                        x += count - 128
+                    else:                      # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            data, np.uint8, count, pos)
+                        pos += count
+                        x += count
+        else:                                  # flat scanline
+            row = np.frombuffer(data, np.uint8, w * 4, pos).reshape(w, 4)
+            rgbe[y] = row
+            pos += w * 4
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp > 0, np.ldexp(1.0, exp - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]
+            ).astype(np.float32)
+
+
+def save_hdr(path: str, img: np.ndarray) -> None:
+    """Write a float32 linear image as flat (non-RLE) Radiance HDR."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    m = img.max(axis=-1)
+    exp = np.where(m > 1e-32, np.floor(np.log2(np.maximum(m, 1e-32))) + 1, 0)
+    # mantissa = c / 2^e * 256 = c * 2^(8-e)
+    scale = np.where(m > 1e-32, np.ldexp(1.0, (8 - exp).astype(np.int32)),
+                     0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(m > 1e-32, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())

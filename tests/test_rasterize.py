@@ -76,9 +76,10 @@ class TestSoftSilhouette:
             return jnp.mean((a - target) ** 2)
 
         g = jax.grad(loss)(jnp.asarray(0.0))
-        # OpenCV view frame: +x is screen-right ⇒ increasing dx lowers the
-        # loss, so the gradient is negative
-        assert float(g) < 0
+        # P3D view frame (+X left, u = cx − fx·x/z; CLAUDE.md conventions):
+        # increasing world dx moves the square screen-LEFT, away from the
+        # right-half target ⇒ the loss rises, so the gradient is positive
+        assert float(g) > 0
 
     def test_gradient_finite_and_nonzero(self):
         cam = _cam()
@@ -158,3 +159,35 @@ class TestPointSplat:
         assert a[32, 32] > 0.5
         np.testing.assert_allclose(np.asarray(rgb)[32, 32], [1, 0, 0], atol=1e-5)
         assert a[0, 0] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestEdgeRasterDegenerateGradients:
+    def test_degenerate_faces_keep_gradients_finite(self):
+        """Zero-length projected edges / zero-area faces must not poison the
+        backward pass (regression: plain jnp.linalg.norm has a NaN gradient
+        at 0, and a max() clamp does not stop the chain rule)."""
+        import jax
+        from regen3d_tpu.ops.rasterize import soft_silhouette_edge
+
+        v = jnp.asarray([[10.0, 10.0, 2.0], [40.0, 12.0, 2.0],
+                         [25.0, 40.0, 2.0], [30.0, 30.0, 2.0]])
+        f = jnp.asarray([[0, 1, 2],      # valid
+                         [3, 3, 3],      # fully degenerate (point)
+                         [0, 1, 1]],     # zero-length edge
+                        jnp.int32)
+
+        def loss(v):
+            a = soft_silhouette_edge(v, f, (64, 64), sigma=1e-4,
+                                     tile=32, faces_per_tile=8)
+            return jnp.sum(a)
+
+        val = loss(v)
+        g = jax.grad(loss)(v)
+        assert bool(jnp.isfinite(val))
+        assert bool(jnp.all(jnp.isfinite(g))), np.asarray(g)
+        # the degenerate faces must not darken coverage: alpha only where
+        # the one valid triangle lives
+        a = np.asarray(soft_silhouette_edge(v, f, (64, 64), sigma=1e-4,
+                                            tile=32, faces_per_tile=8))
+        assert a[5, 5] < 0.05, "degenerate face leaked coverage"
+        assert a.max() > 0.5, "valid face lost"
