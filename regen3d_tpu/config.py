@@ -109,6 +109,15 @@ DEFAULTS: Dict[str, Any] = {
     "remesh": False,
     "remesh_target_num_faces": 50000,
     "use_hunyuan21": False,
+    # Hunyuan3D-2.1 variant knobs (reference config.yaml:176-192)
+    "enable_texture_hy21": True,
+    "steps_hy21": 30,
+    "guidance_scale_hy21": 5.0,
+    "octree_resolution_hy21": 256,
+    "num_chunks_hy21": 8000,
+    "max_num_view_hy21": 6,
+    "resolution_hy21": 512,
+    "realesrgan_ckpt_path": "",
     # --- phase 4: camera + point cloud --------------------------------------
     "image_size": 1024,
     "tmp_dir": "../output/pre_3D",
@@ -122,6 +131,8 @@ DEFAULTS: Dict[str, Any] = {
     "query_frame_num": 8,
     "fine_tracking": True,
     "max_reproj_error": 8.0,
+    "vis_thresh": 0.2,
+    "shared_camera": False,
     "camera_type": "SIMPLE_PINHOLE",
     "conf_thres_value": 1.0,
     "max_points_for_colmap": 10_000_000,

@@ -38,4 +38,8 @@ from regen3d_tpu.ops.losses import (  # noqa: F401
 )
 from regen3d_tpu.ops.poisson import poisson_reconstruct  # noqa: F401
 from regen3d_tpu.ops.marching_cubes import marching_tetrahedra  # noqa: F401
-from regen3d_tpu.ops.bundle_adjust import refine_camera_gn  # noqa: F401
+from regen3d_tpu.ops.bundle_adjust import (  # noqa: F401
+    joint_bundle_adjust,
+    refine_camera_gn,
+)
+from regen3d_tpu.ops.tracks import predict_tracks, shi_tomasi_keypoints  # noqa: F401

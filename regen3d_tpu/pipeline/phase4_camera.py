@@ -210,6 +210,8 @@ def run_vggt_inference(
         return out, cam
 
     out, cam = forward(params, batch)
+    if bool(cfg.get("use_ba", False)) and len(image_paths) >= 2:
+        cam = refine_cameras_with_tracks(cfg, batch[0], out, cam, resolution)
     frames: Dict[str, Dict[str, np.ndarray]] = {}
     for i, p in enumerate(image_paths):
         depth = out["depth"][0, i]
@@ -238,6 +240,95 @@ def run_vggt_inference(
             "width": orig_w, "height": orig_h,
         }
     return frames
+
+
+def refine_cameras_with_tracks(cfg: Config, images, out, cam,
+                               resolution: int):
+    """The `use_ba: true` role (minimal_demo_vggt.py:414-456): track
+    query-frame keypoints across frames, seed 3D from frame-0 depth, run
+    joint structure+pose BA, and return refined cameras.
+
+    TPU-native replacement for predict_tracks + pycolmap.bundle_adjustment:
+    jitted Shi-Tomasi/NCC tracks (ops/tracks.py) + Schur-complement damped
+    GN (ops/bundle_adjust.py::joint_bundle_adjust). Two passes with a
+    `max_reproj_error` outlier gate between them (the reference's
+    batch_np_matrix_to_pycolmap filter, :446).
+    """
+    import jax.numpy as jnp
+
+    from regen3d_tpu.ops.bundle_adjust import joint_bundle_adjust
+    from regen3d_tpu.ops.tracks import predict_tracks
+
+    n_pts = min(int(cfg.get("max_query_pts", 4096)), 2048)
+    vis_thresh = float(cfg.get("vis_thresh", 0.2))
+    max_err = float(cfg.get("max_reproj_error", 8.0))
+    shared = bool(cfg.get("shared_camera", False))
+
+    tr = predict_tracks(jnp.asarray(images), num_points=n_pts)
+    xy = np.asarray(tr.xy)                       # (F, K, 2) model pixels
+    vis = np.asarray(tr.vis)
+
+    # seed structure: frame-0 depth at the query keypoints, unprojected
+    # through the frame-0 camera into the (shared VGGT) world
+    depth0 = np.asarray(out["depth"][0, 0])
+    qx = np.clip(np.round(tr.query_xy[:, 0]).astype(int), 0, resolution - 1)
+    qy = np.clip(np.round(tr.query_xy[:, 1]).astype(int), 0, resolution - 1)
+    z0 = depth0[qy, qx]
+    fx0, fy0 = float(cam["fx"][0]), float(cam["fy"][0])
+    cx0, cy0 = float(cam["cx"][0]), float(cam["cy"][0])
+    cam_pts = np.stack([(np.asarray(tr.query_xy[:, 0]) - cx0) / fx0 * z0,
+                        (np.asarray(tr.query_xy[:, 1]) - cy0) / fy0 * z0,
+                        z0], -1)
+    R0 = np.asarray(cam["R"][0])                 # column world→cam
+    t0 = np.asarray(cam["t"][0])
+    pts_w = (cam_pts - t0) @ R0                  # Rᵀ(x_cam − t), rows
+
+    # joint BA is row-convention (x_cam = X @ R_row + t): R_row = Rᵀ
+    R_row = np.transpose(np.asarray(cam["R"]), (0, 2, 1))
+    t_all = np.asarray(cam["t"])
+    f_all = (np.asarray(cam["fx"]) + np.asarray(cam["fy"])) / 2.0
+    pp = np.stack([np.asarray(cam["cx"]), np.asarray(cam["cy"])], -1)
+
+    w = (vis > vis_thresh).astype(np.float32)
+    w[:, z0 <= 1e-6] = 0.0                       # no depth seed → drop
+
+    def _reproj_err(pts, R_row, t_all, f_all):
+        v = np.einsum("nk,mkj->mnj", pts, R_row) + t_all[:, None]
+        z = np.maximum(v[..., 2], 1e-6)
+        proj = pp[:, None] + f_all[:, None, None] * v[..., :2] / z[..., None]
+        return np.linalg.norm(proj - xy, axis=-1)
+
+    res = None
+    for _pass in range(2):
+        # gate outlier tracks against the CURRENT model before optimizing
+        # (the reference filters with max_reproj_error when building the
+        # pycolmap problem, i.e. against the VGGT init — :446); an L2 GN
+        # with 10-20% gross mismatch outliers diverges otherwise
+        w_eff = w * (_reproj_err(pts_w, R_row, t_all, f_all) < max_err)
+        res = joint_bundle_adjust(
+            jnp.asarray(pts_w), jnp.asarray(xy), jnp.asarray(w_eff),
+            jnp.asarray(R_row), jnp.asarray(t_all), jnp.asarray(f_all),
+            jnp.asarray(pp), max_iterations=25, shared_focal=shared)
+        pts_w = np.asarray(res.points3d)
+        R_row = np.asarray(res.R)
+        t_all = np.asarray(res.T)
+        f_all = np.asarray(res.focal)
+    w = w * (_reproj_err(pts_w, R_row, t_all, f_all) < max_err)
+
+    n_used = int((w.sum(0) >= 2).sum())
+    err_fin = _reproj_err(pts_w, R_row, t_all, f_all)
+    rmse = float(np.sqrt((w * err_fin ** 2).sum()
+                         / max(w.sum(), 1.0)))
+    log.info("phase4 BA: %d/%d tracks used, reproj RMSE %.3f px",
+             n_used, n_pts, rmse)
+    ratio = np.asarray(res.focal) / np.maximum(
+        (np.asarray(cam["fx"]) + np.asarray(cam["fy"])) / 2.0, 1e-6)
+    return {"R": jnp.asarray(np.transpose(R_row, (0, 2, 1))),
+            "t": jnp.asarray(t_all),
+            "fx": cam["fx"] * ratio, "fy": cam["fy"] * ratio,
+            "cx": cam["cx"], "cy": cam["cy"],
+            "_ba": {"rmse_px": rmse, "n_tracks_used": n_used,
+                    "points3d": pts_w}}
 
 
 def run(cfg: Config, params=None, model=None) -> None:
