@@ -70,6 +70,11 @@ DEFAULTS: Dict[str, Any] = {
     "genai_top_p": 0.95,
     "genai_temperature_emptyRoom": 0.5,
     "use_banana": True,
+    # human-in-the-loop mask editor (reference: segmentation.py:1132-1143;
+    # served by the stdlib HTTP UI in pipeline/editor_ui.py)
+    "interactive_edit": False,
+    "editor_port": 7860,
+    "editor_open_browser": False,
     "use_AQ": True,
     "model_id": "gemini-2.5-flash-image-preview",
     "keep_existing_banans": False,
@@ -219,6 +224,20 @@ DEFAULTS: Dict[str, Any] = {
     "predicted_image": "../output/rendering/render_cam1_white_bg.png",
     "eval_output_dir": "../output/evaluation/",
     "Use_MIDI": False,
+    # MIDI baseline knobs (reference config.yaml:400-414)
+    "use_latest_glb": False,
+    "glb_scene_path_midi": "../output/glb/scene/combined_scene_midi.glb",
+    "midi_output": "../output/midi/",
+    "midi_tmp": "../tmp/midi/",
+    "detect_threshold": 0.2,
+    "seg_mode": "label",
+    "num_inference_steps_midi": 50,
+    "guidance_scale_midi": 7.0,
+    "run_texture": False,
+    # DPA baseline (reference run_dpa.py:20-53; stage dirs under dpa_output)
+    "Use_DPA": False,
+    "dpa_output": "../output/dpa/",
+    "dpa_iterations": 60,
 }
 
 _FLOAT_RE = __import__("re").compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")

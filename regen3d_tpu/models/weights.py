@@ -138,6 +138,10 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
-        sd = sd["state_dict"]
+    for wrapper in ("state_dict", "params_ema", "params"):
+        # single-wrapper checkpoints (lightning, BasicSR RealESRGAN, …)
+        if (wrapper in sd and isinstance(sd[wrapper], dict)
+                and len(sd) <= 3):
+            sd = sd[wrapper]
+            break
     return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}

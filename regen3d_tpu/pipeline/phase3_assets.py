@@ -276,22 +276,46 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
             from regen3d_tpu.models.sd_unet import SDUNetConfig
             from regen3d_tpu.models.sd_vae import SDVAEConfig
             from regen3d_tpu.pipeline import texgen as tg
+            hy21_pbr = (bool(cfg.get("use_hunyuan21", False))
+                        and bool(cfg.get("enable_texture_hy21", True)))
             tcfg = tg.TexGenConfig(
-                num_views=int(cfg.get("max_num_view", 6)),
+                num_views=int(cfg.get("max_num_view_hy21", 6) if hy21_pbr
+                              else cfg.get("max_num_view", 6)),
                 resolution=int(cfg.get("texgen_resolution", 64)),
                 steps=int(cfg.get("texgen_steps", 4)))
+            n_embed = (2 if hy21_pbr else 1) * tcfg.num_views
             ucfg = SDUNetConfig.tiny(in_channels=8,
-                                     class_embeddings=tcfg.num_views)
+                                     class_embeddings=n_embed)
             vcfg = SDVAEConfig.tiny()
             tp, vp, ucfg, vcfg = tg.init_texgen(tcfg, unet_cfg=ucfg,
                                                 vae_cfg=vcfg)
-            nv, nf, uvs, png = tg.texture_mesh(
-                verts, faces, img[..., :3], tcfg, tp, vp, ucfg, vcfg,
-                texels_per_face=int(cfg.get("texels_per_face", 8)),
-                seed=int(cfg.get("seed", 1234567)))
-            save_glb(out_path, SceneData(meshes=[MeshData(
-                name=name, vertices=nv, faces=nf, uvs=uvs,
-                texture_png=png)]))
+            if hy21_pbr:
+                # Hunyuan3D-2.1 PBR texture path (run_hunyuan21.py:105-123):
+                # albedo + metallic-roughness atlases; optional RealESRGAN
+                # ×4 on the albedo when a converted checkpoint is configured
+                esrgan = None
+                es_ckpt = str(cfg.get("realesrgan_ckpt_path", "") or "")
+                if es_ckpt and os.path.exists(es_ckpt):
+                    from regen3d_tpu.models.esrgan import ESRGANConfig
+                    from regen3d_tpu.models.weights import load_checkpoint
+                    esrgan = (load_checkpoint(es_ckpt),
+                              ESRGANConfig.x4plus())
+                nv, nf, uvs, png, mr_png = tg.texture_mesh_pbr(
+                    verts, faces, img[..., :3], tcfg, tp, vp, ucfg, vcfg,
+                    texels_per_face=int(cfg.get("texels_per_face", 8)),
+                    seed=int(cfg.get("seed", 1234567)), esrgan=esrgan)
+                save_glb(out_path, SceneData(meshes=[MeshData(
+                    name=name, vertices=nv, faces=nf, uvs=uvs,
+                    texture_png=png, mr_texture_png=mr_png,
+                    metallic=1.0, roughness=1.0)]))
+            else:
+                nv, nf, uvs, png = tg.texture_mesh(
+                    verts, faces, img[..., :3], tcfg, tp, vp, ucfg, vcfg,
+                    texels_per_face=int(cfg.get("texels_per_face", 8)),
+                    seed=int(cfg.get("seed", 1234567)))
+                save_glb(out_path, SceneData(meshes=[MeshData(
+                    name=name, vertices=nv, faces=nf, uvs=uvs,
+                    texture_png=png)]))
         elif bool(cfg.get("bake_texture_atlas", False)):
             # texel-space atlas (Hunyuan3DPaint output contract)
             from regen3d_tpu.camera import lookat_camera

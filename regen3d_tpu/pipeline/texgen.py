@@ -151,6 +151,108 @@ def generate_views(
         out, (cfg.num_views, r, r, 3), "bilinear"))
 
 
+def generate_views_pbr(
+    tex_params,
+    vae_params,
+    cfg: TexGenConfig,
+    ref_image: np.ndarray,
+    unet_cfg: Optional[SDUNetConfig] = None,
+    vae_cfg: Optional[SDVAEConfig] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PBR multiview generation (the Hunyuan3D-2.1 hunyuan-paint-pbr role,
+    run_hunyuan21.py:113): albedo AND metallic-roughness view rings
+    denoised JOINTLY in one 2V batch — material selects the second half of
+    the class-embedding table (id = view + V·material), so the two
+    material branches share the UNet but get distinct conditioning, and
+    the whole thing stays a single MXU stream.
+
+    Returns (albedo (V, R, R, 3), mr (V, R, R, 3)) in [0, 1]; mr packs
+    glTF layout G=roughness, B=metallic."""
+    unet_cfg = unet_cfg or SDUNetConfig.multiview(2 * cfg.num_views)
+    vae_cfg = vae_cfg or SDVAEConfig()
+    vae = SDAutoencoderKL(vae_cfg)
+    model = MultiviewTexGen(unet_cfg)
+
+    r = cfg.resolution
+    v = cfg.num_views
+    img = jnp.asarray(ref_image, jnp.float32) / 255.0 * 2.0 - 1.0
+    img = jax.image.resize(img, (r, r, 3), "bilinear")
+
+    @jax.jit
+    def encode(vae_params, img):
+        mean, _ = vae.apply(vae_params, img[None],
+                            method=SDAutoencoderKL.encode)
+        return mean[0] * vae_cfg.scaling_factor
+
+    ref_latent = encode(vae_params, img)
+    lh = ref_latent.shape[0]
+    # 2V batch: ids 0..V-1 = albedo views, V..2V-1 = MR views
+    latents = ddim_sample(
+        tex_params, model, ref_latent,
+        (2 * v, lh, lh, vae_cfg.latent_channels), cfg.steps,
+        jax.random.PRNGKey(seed))
+
+    @jax.jit
+    def decode(vae_params, z):
+        return vae.apply(vae_params, z / vae_cfg.scaling_factor,
+                         method=SDAutoencoderKL.decode)
+
+    out = jnp.clip(decode(vae_params, latents) * 0.5 + 0.5, 0.0, 1.0)
+    out = jax.image.resize(out, (2 * v, r, r, 3), "bilinear")
+    return np.asarray(out[:v]), np.asarray(out[v:])
+
+
+def texture_mesh_pbr(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    ref_image: np.ndarray,
+    cfg: TexGenConfig,
+    tex_params,
+    vae_params,
+    unet_cfg: Optional[SDUNetConfig] = None,
+    vae_cfg: Optional[SDVAEConfig] = None,
+    texels_per_face: int = 8,
+    seed: int = 0,
+    esrgan=None,
+):
+    """PBR texgen: generate albedo+MR view rings, bake BOTH texel atlases
+    on the shared layout, optionally RealESRGAN-upscale the albedo atlas
+    (run_hunyuan21.py:112, ``esrgan=(params, ESRGANConfig)``).
+
+    Returns (new_verts, new_faces, uvs, albedo_png, mr_png)."""
+    import io
+
+    from PIL import Image
+
+    from regen3d_tpu.pipeline.texture import bake_texture_atlas, orbit_views
+
+    albedo, mr = generate_views_pbr(tex_params, vae_params, cfg, ref_image,
+                                    unet_cfg, vae_cfg, seed)
+    center = verts.mean(0)
+    radius = 2.2 * float(np.abs(verts - center).max())
+    ring = orbit_views(center, radius, np.zeros(
+        (cfg.resolution, cfg.resolution, 3), np.float32),
+        n_views=cfg.num_views)
+    views_a = [(cam, albedo[i]) for i, (cam, _) in enumerate(ring)]
+    views_m = [(cam, mr[i]) for i, (cam, _) in enumerate(ring)]
+    nv, nf, uvs, albedo_png = bake_texture_atlas(
+        verts, faces, views_a, texels_per_face=texels_per_face)
+    # same geometry → identical texel layout/uvs; bake the MR channels on it
+    _, _, _, mr_png = bake_texture_atlas(
+        verts, faces, views_m, texels_per_face=texels_per_face)
+    if esrgan is not None:
+        from regen3d_tpu.models.esrgan import upscale_x4
+        es_params, es_cfg = esrgan
+        img = np.asarray(Image.open(io.BytesIO(albedo_png)).convert("RGB"),
+                         np.float32) / 255.0
+        up = upscale_x4(es_params, es_cfg, img)
+        buf = io.BytesIO()
+        Image.fromarray((up * 255).astype(np.uint8)).save(buf, "PNG")
+        albedo_png = buf.getvalue()
+    return nv, nf, uvs, albedo_png, mr_png
+
+
 def vae_down(vae_cfg: SDVAEConfig) -> int:
     return 2 ** (len(vae_cfg.block_channels) - 1)
 

@@ -47,6 +47,8 @@ class MeshData:
     metallic: float = 0.0
     roughness: float = 1.0
     texture_png: Optional[bytes] = None       # baseColor texture (PNG bytes)
+    mr_texture_png: Optional[bytes] = None    # metallicRoughness texture
+    #                                           (glTF: G=roughness, B=metallic)
 
     def transformed(self, M: np.ndarray) -> "MeshData":
         """Apply a 4x4 column-vector transform to vertices (and normals)."""
@@ -149,14 +151,24 @@ def save_glb(path: str, scene: SceneData) -> None:
         }
         if m.base_color is not None:
             mat["pbrMetallicRoughness"]["baseColorFactor"] = [float(x) for x in m.base_color]
-        if m.texture_png is not None:
-            img_view = add_view(m.texture_png, None)
+        def _add_texture(png_bytes: bytes) -> int:
+            img_view = add_view(png_bytes, None)
             images.append({"bufferView": img_view, "mimeType": "image/png"})
             if not samplers:
                 samplers.append({"magFilter": 9729, "minFilter": 9729,
                                  "wrapS": 10497, "wrapT": 10497})
             textures.append({"sampler": 0, "source": len(images) - 1})
-            mat["pbrMetallicRoughness"]["baseColorTexture"] = {"index": len(textures) - 1}
+            return len(textures) - 1
+
+        if m.texture_png is not None:
+            mat["pbrMetallicRoughness"]["baseColorTexture"] = {
+                "index": _add_texture(m.texture_png)}
+        if m.mr_texture_png is not None:
+            # glTF metallicRoughnessTexture (G=roughness, B=metallic); the
+            # factors act as multipliers, so force them to 1 when a map is
+            # present unless explicitly set
+            mat["pbrMetallicRoughness"]["metallicRoughnessTexture"] = {
+                "index": _add_texture(m.mr_texture_png)}
         materials.append(mat)
 
         meshes_json.append({
@@ -382,19 +394,28 @@ def load_glb(path: str, apply_transforms: bool = True) -> SceneData:
                     base_color = np.asarray(pbr["baseColorFactor"], dtype=np.float32)
                 metallic = float(pbr.get("metallicFactor", 1.0))
                 roughness = float(pbr.get("roughnessFactor", 1.0))
-                if "baseColorTexture" in pbr and "textures" in gltf:
-                    tex = gltf["textures"][pbr["baseColorTexture"]["index"]]
+                def _tex_bytes(slot):
+                    if slot not in pbr or "textures" not in gltf:
+                        return None
+                    tex = gltf["textures"][pbr[slot]["index"]]
                     img = gltf["images"][tex["source"]]
-                    if "bufferView" in img:
-                        view = gltf["bufferViews"][img["bufferView"]]
-                        s = view.get("byteOffset", 0)
-                        tex_png = bin_chunk[s: s + view["byteLength"]]
+                    if "bufferView" not in img:
+                        return None
+                    view = gltf["bufferViews"][img["bufferView"]]
+                    s = view.get("byteOffset", 0)
+                    return bin_chunk[s: s + view["byteLength"]]
+
+                tex_png = _tex_bytes("baseColorTexture")
+                mr_png = _tex_bytes("metallicRoughnessTexture")
+            else:
+                mr_png = None
 
             md = MeshData(
                 name=mesh_name if pi == 0 else f"{mesh_name}_{pi}",
                 vertices=verts, faces=faces, normals=normals, uvs=uvs,
                 vertex_colors=colors, base_color=base_color,
                 metallic=metallic, roughness=roughness, texture_png=tex_png,
+                mr_texture_png=mr_png,
             )
             if apply_transforms and not np.allclose(M, np.eye(4)):
                 md = md.transformed(M)

@@ -21,6 +21,10 @@ def test_rule_table_roundtrip(family):
 def test_synthetic_state_is_torch_layout(family):
     """Synthetic states must look like torch state_dicts: flat dot-keys,
     linear weights transposed relative to our kernels."""
+    if conversion.FAMILIES[family].status == "diverged":
+        with pytest.raises(NotImplementedError, match="diverges"):
+            conversion.FAMILIES[family].rules()
+        return
     state, init = conversion.synthetic_state(family)
     assert all("." in k or k.count("/") == 0 for k in state)
     assert all(isinstance(v, np.ndarray) for v in state.values())
