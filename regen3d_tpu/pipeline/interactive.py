@@ -146,11 +146,8 @@ class EditSession:
 
 
 def launch_gradio_editor(session: EditSession):  # pragma: no cover
-    """Optional UI (requires gradio, not shipped in this image)."""
-    try:
-        import gradio  # type: ignore  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "gradio is not installed; drive EditSession programmatically "
-            "or install gradio for the UI") from e
-    raise NotImplementedError("gradio front-end lands with the UI milestone")
+    """Back-compat alias: the UI is the dependency-free HTTP editor
+    (pipeline/editor_ui.py — same verbs the reference's Gradio app
+    exposes); gradio is not shipped in this image."""
+    from regen3d_tpu.pipeline.editor_ui import launch_editor
+    return launch_editor(session)

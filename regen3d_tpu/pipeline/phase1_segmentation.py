@@ -171,6 +171,16 @@ def run(cfg: Config, sam=None, sam_params=None,
     if detections is None:
         detections = detect_and_segment(cfg, image, sam, sam_params,
                                         detector, detector_params)
+    if bool(cfg.get("interactive_edit", False)):
+        # human-in-the-loop mask editing (reference: segmentation.py:1132-
+        # 1143 → manual_editor.edit_segmentations_interactive); blocks
+        # until the browser session finishes
+        from regen3d_tpu.pipeline.editor_ui import (
+            edit_segmentations_interactive)
+        detections = edit_segmentations_interactive(
+            image, detections, cfg, sam=sam, sam_params=sam_params)
+        log.info("phase1: interactive session finished with %d detections",
+                 len(detections))
     if not detections:
         log.warning("phase1: no detections")
         return []
