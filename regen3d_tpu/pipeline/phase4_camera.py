@@ -42,6 +42,50 @@ from regen3d_tpu.utils.ply import save_ply
 log = logging.getLogger(__name__)
 
 
+def align_pointclouds_obb(source: np.ndarray, target: np.ndarray):
+    """Per-axis bbox scale + translate-to-target-center alignment (the
+    unproject variant's empty-room alignment,
+    minimal_demo_vggt_unproject.py:39-120: no rotation, per-axis scale
+    from centered extents, aligned = centered·scale + target_center).
+
+    Returns (aligned (N, 3), scale (3,), R=I (3, 3), t (3,))."""
+    sc = source.mean(0)
+    tc = target.mean(0)
+    s_cent = source - sc
+    t_cent = target - tc
+    s_ext = s_cent.max(0) - s_cent.min(0)
+    t_ext = t_cent.max(0) - t_cent.min(0)
+    scale = np.divide(t_ext, s_ext, out=np.ones_like(t_ext),
+                      where=s_ext > 1e-6)
+    aligned = s_cent * scale + tc
+    t = tc - sc * scale
+    return aligned, scale, np.eye(3), t
+
+
+def align_pointclouds_pca(source: np.ndarray, target: np.ndarray):
+    """Principal-axes alignment (minimal_demo_vggt_unproject.py:123-186):
+    R = target_axesᵀ·source_axes from per-cloud PCA, then translate to the
+    target center. Returns (aligned, R, t)."""
+    sc = source.mean(0)
+    tc = target.mean(0)
+    s_cent = source - sc
+    t_cent = target - tc
+
+    def principal_axes(x):
+        # rows = components sorted by descending eigenvalue (sklearn PCA
+        # convention the reference relies on)
+        cov = (x.T @ x) / max(len(x) - 1, 1)
+        w, v = np.linalg.eigh(cov)
+        return v[:, ::-1].T
+
+    axes_s = principal_axes(s_cent)
+    axes_t = principal_axes(t_cent)
+    R = axes_t.T @ axes_s
+    aligned = s_cent @ R.T + tc
+    t = tc - sc @ R.T
+    return aligned, R, t
+
+
 def matrix_to_qvec(R: np.ndarray) -> np.ndarray:
     from regen3d_tpu.transforms.rotations import matrix_to_quat
     return np.asarray(matrix_to_quat(jnp.asarray(R, jnp.float32)),
@@ -149,6 +193,15 @@ def export_reconstruction(
             p1 = (p1 - c) * ax_scale + c
         save_ply(os.path.join(art.colmap_sparse, "points_emptyRoom.ply"),
                  p1.astype(np.float32), colors=all_cols[1])
+        # the unproject variant's OBB alignment artifact
+        # (minimal_demo_vggt_unproject.py:705-722: empty → main, per-axis
+        # scale + translate to the MAIN cloud's center)
+        if len(pts_by_frame[1]) and len(pts_by_frame[0]):
+            aligned, _, _, _ = align_pointclouds_obb(
+                pts_by_frame[1], pts_by_frame[0])
+            save_ply(os.path.join(art.colmap_sparse,
+                                  "points_emptyRoom_aligned.ply"),
+                     aligned.astype(np.float32), colors=all_cols[1])
 
     # scene_vggt.ply: the reference's exact point fix
     # (minimal_demo_vggt.py:176-186) — phase 5 undoes it via B2P(I) + Y-flip.

@@ -107,3 +107,68 @@ class TestPhase4VGGT:
         kept = len(fr["points"]) / (res * res)
         assert kept <= 0.40, f"padded pixels leaked into the cloud ({kept:.2f})"
         assert kept >= 0.20, "valid pixels were over-masked"
+
+
+class TestUnprojectAlignmentVariant:
+    """minimal_demo_vggt_unproject.py:39-186 alignment pair."""
+
+    def test_obb_alignment_exact_on_transformed_box(self):
+        from regen3d_tpu.pipeline.phase4_camera import align_pointclouds_obb
+        rng = np.random.default_rng(3)
+        tgt = rng.uniform(-1, 1, (500, 3)).astype(np.float64) * [2, 1, 3]
+        src = tgt / [2.0, 4.0, 0.5] + [5.0, -2.0, 1.0]
+        aligned, scale, R, t = align_pointclouds_obb(src, tgt)
+        np.testing.assert_allclose(scale, [2.0, 4.0, 0.5], rtol=1e-6)
+        np.testing.assert_allclose(R, np.eye(3))
+        # extents and center match the target exactly
+        np.testing.assert_allclose(aligned.mean(0), tgt.mean(0), atol=1e-9)
+        np.testing.assert_allclose(
+            aligned.max(0) - aligned.min(0), tgt.max(0) - tgt.min(0),
+            rtol=1e-9)
+        # affine formula consistency: aligned == src*scale + t
+        np.testing.assert_allclose(aligned, src * scale + t, atol=1e-9)
+
+    def test_pca_alignment_recovers_rotation(self):
+        from regen3d_tpu.pipeline.phase4_camera import align_pointclouds_pca
+        from regen3d_tpu.transforms.rotations import so3_exp
+        import jax.numpy as jnp
+        rng = np.random.default_rng(4)
+        tgt = rng.normal(size=(800, 3)) * [3.0, 1.0, 0.3]
+        R_true = np.asarray(so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+        src = tgt @ R_true.T + [1.0, 2.0, 3.0]
+        aligned, R, t = align_pointclouds_pca(src, tgt)
+        # principal frames coincide up to axis sign; check the cloud shape
+        cov_a = np.cov(aligned.T)
+        cov_t = np.cov(tgt.T)
+        np.testing.assert_allclose(np.linalg.eigvalsh(cov_a),
+                                   np.linalg.eigvalsh(cov_t), rtol=1e-6)
+        np.testing.assert_allclose(aligned.mean(0), tgt.mean(0), atol=1e-9)
+        assert abs(abs(np.linalg.det(R)) - 1.0) < 1e-8
+
+    def test_export_writes_aligned_artifact(self, tmp_path):
+        import yaml
+
+        from regen3d_tpu.artifacts import Artifacts
+        from regen3d_tpu.config import default_config
+        from regen3d_tpu.pipeline.phase4_camera import export_reconstruction
+        from regen3d_tpu.utils.ply import load_ply
+
+        cfg = default_config(str(tmp_path / "output"))
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-1, 1, (200, 3)).astype(np.float64) + [0, 0, 3]
+        frames = {
+            "a.png": dict(points=pts, R=np.eye(3), t=np.zeros(3),
+                          fx=100.0, fy=100.0, cx=32.0, cy=32.0,
+                          width=64, height=64),
+            "b.png": dict(points=pts * 0.5 + [1, 0, 0], R=np.eye(3),
+                          t=np.zeros(3), fx=100.0, fy=100.0, cx=32.0,
+                          cy=32.0, width=64, height=64),
+        }
+        export_reconstruction(cfg, frames)
+        art = Artifacts(cfg)
+        p = os.path.join(art.colmap_sparse, "points_emptyRoom_aligned.ply")
+        assert os.path.exists(p)
+        aligned = load_ply(p).vertices
+        main = load_ply(os.path.join(art.colmap_sparse,
+                                     "points.ply")).vertices
+        np.testing.assert_allclose(aligned.mean(0), main.mean(0), atol=1e-4)
