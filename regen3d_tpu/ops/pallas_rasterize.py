@@ -1,25 +1,29 @@
 """Pallas TPU kernel for the tile-binned edge-function soft silhouette.
 
-This kernel keeps the whole tile in VMEM — the 32×32-pixel tile is one
-(8, 128) f32 vector register tile, faces stream as SMEM scalars — zero
-intermediate HBM traffic.
+Fully VECTORIZED over faces (v2 — the round-1 kernel streamed faces as a
+serial SMEM scalar loop and lost to XLA 18.4 vs 9.5 ms; see git history):
 
-MEASURED (v5e, 1024², K=64, 2048 faces, fwd+bwd): 18.4 ms vs 9.5 ms for the
-fused-XLA soft_silhouette_edge — the serial per-face SMEM scalar loop
-dominates; XLA's fusion of the same math already stays on-chip at this
-size. Kept as (a) the verified custom-VJP kernel scaffold and (b) the
-vehicle for the planned multi-face-per-step vectorization (ROADMAP item 1).
-The fit engine defaults to the XLA edge path.
+Forward, per 32×32-pixel tile (P = 1024 flat pixels):
+  1. fold the tile origin into each edge's constant:
+     c' = a·px0 + b·py0 + c                      (VPU, on the (3K, 3) block)
+  2. ALL edge values in ONE MXU matmul:
+     E = [a b] (3K, 2) @ basepix (2, P) + c'     → (3K, P)
+  3. three contiguous sublane slices E[0:K], E[K:2K], E[2K:3K] → per-face
+     min edge distance (K, P), SoftRas occupancy z = d·|d|/σ,
+     acc[p] = Σ_k valid·log(1 − sigmoid(z))      (VPU + sublane reduction)
 
-Forward:  acc[t, p] = Σ_k valid[t,k] · log(1 − sigmoid(d·|d|/σ))
-          with d = min_i (aᵢ·px + bᵢ·py + cᵢ) over the face's 3 edges.
-Backward: hand-derived per-face coefficient gradients (9 reductions per
-          face over the pixel tile); the caller chains them to vertices
-          through XLA autodiff of `face_edge_coeffs`.
+Backward: s = g·(−sigmoid(z))·2|d|/σ·valid routed to the argmin edge
+  (3K, P), then the coefficient gradients are ONE MXU matmul
+  S (3K, P) @ basepixᵀ (P, 2) plus a row sum — no loop. The caller chains
+  dc to vertices through XLA autodiff of `face_edge_coeffs`.
 
-Layout notes (TPU tiling rules): per-tile scalar operands carry a dummy
-middle axis so their blocks read (1, 1, K); the accumulator is stored as
-(T, 8, 128) so each block is exactly one native f32 vector tile.
+Edge-major layout (row r = edge·K + k) keeps the 3-edge slices contiguous
+on the sublane axis (K is a multiple of 8), so no relayouts occur. All
+intermediates are (3K, P) f32 in VMEM: K=64 → 768 KB per buffer, well
+under the ~16 MB VMEM budget; K up to 256 still fits.
+
+MEASURED (v5e, 1024², K=64, 2048 faces, fwd+bwd): see module tail / commit
+message — the fit engine default is chosen by this number.
 """
 
 from __future__ import annotations
@@ -29,154 +33,168 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 32          # pixels per side; 32×32 = (8, 128) f32 vector tile
+TILE = 32          # pixels per side; P = 1024 flat pixels per tile
 P = TILE * TILE
 
 
-def _pixel_offsets(ndc: float):
-    """(8, 128) u and v NDC offsets of the 32×32 pixel tile.
-
-    Built directly in the native (8, 128) vector layout (Mosaic rejects a
-    (32, 32)→(8, 128) shape cast): flattened pixel p = 128·row8 + lane,
-    so u = p mod 32 = lane mod 32 and v = p div 32 = 4·row8 + lane div 32.
-    """
-    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    uu = (lane % TILE).astype(jnp.float32) + 0.5
-    vv = (r8 * 4 + lane // TILE).astype(jnp.float32) + 0.5
-    return uu * ndc, vv * ndc
+def _base_pix(ndc: float) -> jnp.ndarray:
+    """(2, P) NDC offsets of the tile's pixels; flat p = v·TILE + u."""
+    p = jnp.arange(P)
+    pu = ((p % TILE).astype(jnp.float32) + 0.5) * ndc
+    pv = ((p // TILE).astype(jnp.float32) + 0.5) * ndc
+    return jnp.stack([pu, pv])
 
 
-def _fwd_kernel(coeffs_ref, valid_ref, uv_ref, acc_ref, *, sigma, ndc, k):
+def _edge_values(coeffs_ref, uv_ref, pix_ref):
+    """E (3K, P) = [a b] @ basepix + (a·px0 + b·py0 + c)."""
+    co = coeffs_ref[0]                       # (3K, 3)
     px0 = uv_ref[0, 0, 0]
     py0 = uv_ref[0, 0, 1]
-    pu, pv = _pixel_offsets(ndc)
-    px = pu + px0
-    py = pv + py0
+    c2 = co[:, 0:1] * px0 + co[:, 1:2] * py0 + co[:, 2:3]   # (3K, 1)
+    # VPU broadcasts, not a matmul: contraction dim 2 wastes the MXU, and
+    # exact f32 edge values matter (the 3-edge argmin routes gradients —
+    # bf16 MXU passes flip ties and perturb subgradients near edges)
+    return (co[:, 0:1] * pix_ref[0:1, :] + co[:, 1:2] * pix_ref[1:2, :]
+            + c2)
 
-    def body(i, acc):
-        val = valid_ref[0, 0, i]
-        e0 = coeffs_ref[0, i, 0] * px + coeffs_ref[0, i, 1] * py + coeffs_ref[0, i, 2]
-        e1 = coeffs_ref[0, i, 3] * px + coeffs_ref[0, i, 4] * py + coeffs_ref[0, i, 5]
-        e2 = coeffs_ref[0, i, 6] * px + coeffs_ref[0, i, 7] * py + coeffs_ref[0, i, 8]
+
+def _fwd_kernel(nv_ref, coeffs_ref, valid_ref, uv_ref, pix_ref, acc_ref,
+                *, sigma, k):
+    i = pl.program_id(0)
+
+    # empty-tile skip: scenes cover a minority of tiles; the scalar-
+    # prefetched per-tile face count gates the whole compute (this is the
+    # structural advantage over the fused-XLA path, which cannot skip)
+    @pl.when(nv_ref[i] == 0)
+    def _():
+        acc_ref[0] = jnp.zeros((1, P), jnp.float32)
+
+    @pl.when(nv_ref[i] > 0)
+    def _():
+        e = _edge_values(coeffs_ref, uv_ref, pix_ref)       # (3K, P)
+        dmin = jnp.minimum(e[0:k],
+                           jnp.minimum(e[k:2 * k], e[2 * k:3 * k]))
+        z = dmin * jnp.abs(dmin) * (1.0 / sigma)
+        contrib = valid_ref[0] * jax.nn.softplus(z)         # (K, P)
+        acc_ref[0] = -jnp.sum(contrib, axis=0, keepdims=True)
+
+
+def _bwd_kernel(nv_ref, coeffs_ref, valid_ref, uv_ref, pix_ref, g_ref,
+                dc_ref, *, sigma, k):
+    i = pl.program_id(0)
+
+    @pl.when(nv_ref[i] == 0)
+    def _():
+        dc_ref[0] = jnp.zeros((3 * k, 3), jnp.float32)
+
+    @pl.when(nv_ref[i] > 0)
+    def _():
+        e = _edge_values(coeffs_ref, uv_ref, pix_ref)       # (3K, P)
+        e0, e1, e2 = e[0:k], e[k:2 * k], e[2 * k:3 * k]
         dmin = jnp.minimum(e0, jnp.minimum(e1, e2))
         z = dmin * jnp.abs(dmin) * (1.0 / sigma)
-        return acc - val * jax.nn.softplus(z)
-
-    acc = lax.fori_loop(0, k, body, jnp.zeros((8, 128), jnp.float32))
-    acc_ref[0] = acc
-
-
-def _bwd_kernel(coeffs_ref, valid_ref, uv_ref, g_ref, dc_ref, *, sigma, ndc, k):
-    px0 = uv_ref[0, 0, 0]
-    py0 = uv_ref[0, 0, 1]
-    pu, pv = _pixel_offsets(ndc)
-    px = pu + px0
-    py = pv + py0
-    g = g_ref[0]                      # (8, 128)
-
-    def body(i, _):
-        val = valid_ref[0, 0, i]
-        e0 = coeffs_ref[0, i, 0] * px + coeffs_ref[0, i, 1] * py + coeffs_ref[0, i, 2]
-        e1 = coeffs_ref[0, i, 3] * px + coeffs_ref[0, i, 4] * py + coeffs_ref[0, i, 5]
-        e2 = coeffs_ref[0, i, 6] * px + coeffs_ref[0, i, 7] * py + coeffs_ref[0, i, 8]
-        dmin = jnp.minimum(e0, jnp.minimum(e1, e2))
-        z = dmin * jnp.abs(dmin) * (1.0 / sigma)
-        # d(-softplus(z))/d dmin = -sigmoid(z) · 2|dmin| / σ
-        s = g * (-jax.nn.sigmoid(z)) * (2.0 * jnp.abs(dmin) / sigma) * val
+        s = (g_ref[0, 0:1, :] * (-jax.nn.sigmoid(z))
+             * (2.0 * jnp.abs(dmin) * (1.0 / sigma))
+             * valid_ref[0])                                # (K, P)
+        # argmin-edge routing, ties broken left-to-right like the forward
         m0 = (e0 == dmin).astype(jnp.float32)
-        # break ties like the forward's left-to-right min
-        m1 = jnp.logical_and(e1 == dmin, m0 == 0).astype(jnp.float32)
+        m1 = jnp.where(e1 == dmin, 1.0 - m0, 0.0)
         m2 = jnp.maximum(1.0 - m0 - m1, 0.0)
-        s0 = s * m0
-        s1 = s * m1
-        s2 = s * m2
-        dc_ref[0, i, 0] = jnp.sum(s0 * px)
-        dc_ref[0, i, 1] = jnp.sum(s0 * py)
-        dc_ref[0, i, 2] = jnp.sum(s0)
-        dc_ref[0, i, 3] = jnp.sum(s1 * px)
-        dc_ref[0, i, 4] = jnp.sum(s1 * py)
-        dc_ref[0, i, 5] = jnp.sum(s1)
-        dc_ref[0, i, 6] = jnp.sum(s2 * px)
-        dc_ref[0, i, 7] = jnp.sum(s2 * py)
-        dc_ref[0, i, 8] = jnp.sum(s2)
-        return 0
-
-    lax.fori_loop(0, k, body, 0)
+        S = jnp.concatenate([s * m0, s * m1, s * m2], axis=0)  # (3K, P)
+        rowsum = jnp.sum(S, axis=1, keepdims=True)          # (3K, 1)
+        duv = jnp.dot(S, pix_ref[:, :].T,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (3K, 2)
+        px0 = uv_ref[0, 0, 0]
+        py0 = uv_ref[0, 0, 1]
+        dc_ref[0] = jnp.concatenate(
+            [duv[:, 0:1] + px0 * rowsum,
+             duv[:, 1:2] + py0 * rowsum,
+             rowsum], axis=1)                               # (3K, 3)
 
 
 def _auto_interpret():
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def pallas_edge_silhouette(
-    coeffs: jnp.ndarray,   # (T, K, 9)
-    valid: jnp.ndarray,    # (T, 1, K) float32 0/1
+    nvalid: jnp.ndarray,   # (T,) int32 — valid faces per tile (prefetched)
+    coeffs: jnp.ndarray,   # (T, 3K, 3) edge-major: row = edge·K + face
+    valid: jnp.ndarray,    # (T, K, 1) float32 0/1
     tile_uv: jnp.ndarray,  # (T, 1, 2) tile-origin NDC coords
     sigma: float,
     ndc: float,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Σ-log-coverage accumulator per 32×32 tile → (T, 8, 128)."""
-    return _fwd(coeffs, valid, tile_uv, sigma, ndc, interpret)
+    """Σ-log-coverage accumulator per 32×32 tile → (T, P)."""
+    return _fwd(nvalid, coeffs, valid, tile_uv, sigma, ndc, interpret)
 
 
-def _fwd(coeffs, valid, tile_uv, sigma, ndc, interpret):
-    t, k, _ = coeffs.shape
+def _specs(k3, k):
+    return [
+        pl.BlockSpec((1, k3, 3), lambda i, nv: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k, 1), lambda i, nv: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 2), lambda i, nv: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((2, P), lambda i, nv: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _fwd(nvalid, coeffs, valid, tile_uv, sigma, ndc, interpret):
+    t, k3, _ = coeffs.shape
+    k = k3 // 3
     interp = _auto_interpret() if interpret is None else interpret
-    kernel = functools.partial(_fwd_kernel, sigma=sigma, ndc=ndc, k=k)
+    kernel = functools.partial(_fwd_kernel, sigma=sigma, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=_specs(k3, k),
+        out_specs=pl.BlockSpec((1, 1, P), lambda i, nv: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((1, k, 9), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 8, 128), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, 1, P), jnp.float32),
         interpret=interp,
-    )(coeffs, valid, tile_uv)
+    )(nvalid, coeffs, valid, tile_uv, _base_pix(ndc)).reshape(t, P)
 
 
-def _vjp_fwd(coeffs, valid, tile_uv, sigma, ndc, interpret):
-    acc = _fwd(coeffs, valid, tile_uv, sigma, ndc, interpret)
-    return acc, (coeffs, valid, tile_uv)
+def _vjp_fwd(nvalid, coeffs, valid, tile_uv, sigma, ndc, interpret):
+    acc = _fwd(nvalid, coeffs, valid, tile_uv, sigma, ndc, interpret)
+    return acc, (nvalid, coeffs, valid, tile_uv)
 
 
 def _vjp_bwd(sigma, ndc, interpret, res, g):
-    coeffs, valid, tile_uv = res
-    t, k, _ = coeffs.shape
+    nvalid, coeffs, valid, tile_uv = res
+    t, k3, _ = coeffs.shape
+    k = k3 // 3
     interp = _auto_interpret() if interpret is None else interpret
-    kernel = functools.partial(_bwd_kernel, sigma=sigma, ndc=ndc, k=k)
-    dc = pl.pallas_call(
-        kernel,
+    kernel = functools.partial(_bwd_kernel, sigma=sigma, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t,),
-        in_specs=[
-            pl.BlockSpec((1, k, 9), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        in_specs=_specs(k3, k) + [
+            pl.BlockSpec((1, 1, P), lambda i, nv: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k, 9), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((t, k, 9), jnp.float32),
+        out_specs=pl.BlockSpec((1, k3, 3), lambda i, nv: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, k3, 3), jnp.float32),
         interpret=interp,
-    )(coeffs, valid, tile_uv, g)
-    return dc, None, None
+    )(nvalid, coeffs, valid, tile_uv, _base_pix(ndc), g.reshape(t, 1, P))
+    return None, dc, None, None
 
 
 pallas_edge_silhouette.defvjp(_vjp_fwd, _vjp_bwd)
@@ -194,24 +212,42 @@ def soft_silhouette_edge_pallas(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for ops.rasterize.soft_silhouette_edge, Pallas-backed
-    (fixed 32-px tiles)."""
-    from regen3d_tpu.ops.rasterize import compute_silhouette_bins, face_edge_coeffs
+    (fixed 32-px tiles). faces_per_tile is rounded up to a multiple of 8
+    (sublane slice alignment)."""
+    from regen3d_tpu.ops.rasterize import (
+        compute_silhouette_bins,
+        face_edge_coeffs,
+    )
 
     h, w = image_hw
     assert h % TILE == 0 and w % TILE == 0
+    k = max(8, (faces_per_tile + 7) // 8 * 8)
     ndc = 2.0 / min(h, w)
     tri = verts_screen[faces]
     fmask = jnp.ones(faces.shape[0], bool) if faces_mask is None else faces_mask
     ok = fmask & jnp.all(tri[..., 2] > znear, axis=-1)
-    coeffs = face_edge_coeffs(tri[..., :2] * ndc)          # (F, 3, 3)
+    tri2 = tri[..., :2] * ndc
+    area2 = ((tri2[:, 1, 0] - tri2[:, 0, 0]) * (tri2[:, 2, 1] - tri2[:, 0, 1])
+             - (tri2[:, 1, 1] - tri2[:, 0, 1])
+             * (tri2[:, 2, 0] - tri2[:, 0, 0]))
+    ok = ok & (jnp.abs(area2) > 1e-14)
+    coeffs = face_edge_coeffs(tri2)                        # (F, 3, 3)
 
     if bins is None:
         bins = compute_silhouette_bins(verts_screen, faces, image_hw, sigma,
-                                       faces_mask, znear, TILE, faces_per_tile)
+                                       faces_mask, znear, TILE, k)
     sel_idx, sel_valid = bins
+    k = sel_idx.shape[1]
+    if k % 8:                       # pad to the sublane slice alignment
+        pad = 8 - k % 8
+        sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad)))
+        sel_valid = jnp.pad(sel_valid, ((0, 0), (0, pad)))
+        k += pad
     t = sel_idx.shape[0]
-    co = coeffs.reshape(-1, 9)[sel_idx]                    # (T, K, 9)
-    va = (sel_valid & ok[sel_idx]).astype(jnp.float32)[:, None, :]
+    # edge-major: (T, K, 3edges, 3) → (T, 3edges, K, 3) → (T, 3K, 3)
+    co = coeffs[sel_idx]                                   # (T, K, 3, 3)
+    co = co.transpose(0, 2, 1, 3).reshape(t, 3 * k, 3)
+    va = (sel_valid & ok[sel_idx]).astype(jnp.float32)[..., None]  # (T,K,1)
 
     ntx = w // TILE
     tids = jnp.arange(t)
@@ -219,9 +255,10 @@ def soft_silhouette_edge_pallas(
                          (tids // ntx) * TILE * ndc],
                         -1).astype(jnp.float32)[:, None, :]
 
-    acc = pallas_edge_silhouette(co, va, tile_uv, float(sigma), float(ndc),
-                                 interpret)
-    alpha = 1.0 - jnp.exp(acc.reshape(t, P))
+    nvalid = jnp.sum(va, axis=(1, 2)).astype(jnp.int32)
+    acc = pallas_edge_silhouette(nvalid, co, va, tile_uv, float(sigma),
+                                 float(ndc), interpret)
+    alpha = 1.0 - jnp.exp(acc)                             # (T, P)
     nty = h // TILE
     alpha = alpha.reshape(nty, ntx, TILE, TILE)
     return alpha.transpose(0, 2, 1, 3).reshape(h, w)

@@ -105,6 +105,10 @@ class FitConfig:
     # margin must cover vertex screen motion across the whole fit.
     use_edge_raster: bool = False
     bin_margin_px: float = 64.0
+    # Pallas silhouette kernel (ops/pallas_rasterize.py): "auto" uses it on
+    # TPU at ≥512² with 32-px tiles (where the empty-tile skip wins —
+    # measured 6.4 vs 8.2 ms at 1024²); True forces, False disables
+    use_pallas_raster: object = "auto"
     # candidate-pruned 3D loss: exact point-triangle on the k nearest faces
     # (MXU centroid KNN); 0 = full exact loss
     pm_topk: int = 0
@@ -127,6 +131,16 @@ def pose_transform(
     return jnp.einsum("bvj,bjk->bvk", v, batch.pivot_R) + batch.pivot_t[:, None, :]
 
 
+def _use_pallas(cfg: "FitConfig") -> bool:
+    if cfg.use_pallas_raster is True:
+        return True
+    if cfg.use_pallas_raster == "auto":
+        import jax
+        return (jax.default_backend() == "tpu"
+                and min(cfg.image_hw) >= 512 and cfg.bin_tile == 32)
+    return False
+
+
 def _object_loss(
     v_world: jnp.ndarray,
     verts_mask: jnp.ndarray,
@@ -142,7 +156,17 @@ def _object_loss(
     cfg: FitConfig,
 ) -> jnp.ndarray:
     vs = camera.view_to_screen(camera.world_to_view(v_world))
-    if cfg.use_edge_raster:
+    if cfg.use_edge_raster and _use_pallas(cfg):
+        # measured on v5e: the scalar-prefetch empty-tile skip makes the
+        # Pallas kernel ~22% faster than the fused-XLA edge path at 1024²
+        # (6.4 vs 8.2 ms fwd+bwd, K=64, 2048 faces) but launch overhead
+        # loses at 256² — hence the size gate in _use_pallas
+        from regen3d_tpu.ops.pallas_rasterize import (
+            soft_silhouette_edge_pallas)
+        alpha = soft_silhouette_edge_pallas(
+            vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
+            faces_per_tile=cfg.faces_per_tile, bins=bins)
+    elif cfg.use_edge_raster:
         from regen3d_tpu.ops.rasterize import soft_silhouette_edge
         alpha = soft_silhouette_edge(
             vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,

@@ -68,3 +68,61 @@ class TestPallasEdge:
                                           faces_per_tile=32, faces_mask=mask,
                                           interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+class TestPallasInFitEngine:
+    def test_fit_poses_with_pallas_raster(self):
+        """The kernel path works under the fit engine's vmap+jit+grad
+        (interpret mode on CPU); parity vs the XLA edge path."""
+        import numpy as np
+
+        from regen3d_tpu.camera import Camera
+        from regen3d_tpu.pipeline.pose_fit import (
+            FitConfig,
+            ObjectBatch,
+            PoseParams,
+            fit_poses,
+        )
+
+        rng = np.random.default_rng(0)
+        b, nf = 2, 64
+        nv = 32
+        verts = rng.normal(size=(b, nv, 3)).astype(np.float32) * 0.2
+        verts[..., 2] += 2.5
+        faces = rng.integers(0, nv, (b, nf, 3)).astype(np.int32)
+        img = 64
+        cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                     focal=jnp.asarray([64.0, 64.0]),
+                     principal=jnp.asarray([32.0, 32.0]),
+                     image_size=(img, img))
+        mask = np.zeros((b, img, img), np.float32)
+        mask[:, 16:48, 16:48] = 1.0
+        pts = rng.normal(size=(b, 64, 3)).astype(np.float32) * 0.2
+        pts[..., 2] += 2.5
+        batch = ObjectBatch(
+            verts=jnp.asarray(verts), verts_mask=jnp.ones((b, nv), bool),
+            faces=jnp.asarray(faces), faces_mask=jnp.ones((b, nf), bool),
+            target_mask=jnp.asarray(mask), target_points=jnp.asarray(pts),
+            points_mask=jnp.ones((b, 64), bool),
+            pivot_R=jnp.tile(jnp.eye(3)[None], (b, 1, 1)),
+            pivot_t=jnp.zeros((b, 3)),
+            on_floor=jnp.zeros(b, bool), object_valid=jnp.ones(b, bool),
+            bbox_lo=jnp.asarray([-10.0, -10.0, 0.0]),
+            bbox_hi=jnp.asarray([10.0, 10.0, 10.0]))
+        init = PoseParams.zeros(b)._replace(
+            translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (b, 1)))
+
+        def run(pallas):
+            cfg = FitConfig(image_hw=(img, img), sigma=1e-4,
+                            max_iterations=3, early_stop_min_iters=3,
+                            use_edge_raster=True, bin_tile=32,
+                            faces_per_tile=16, record_history=False,
+                            use_pallas_raster=pallas)
+            return fit_poses(init, batch, cam, cfg)
+
+        r_pal = run(True)
+        r_xla = run(False)
+        assert np.all(np.isfinite(np.asarray(r_pal.params.translation)))
+        np.testing.assert_allclose(np.asarray(r_pal.params.translation),
+                                   np.asarray(r_xla.params.translation),
+                                   atol=5e-4)
