@@ -72,6 +72,16 @@ def _phase9(cfg: Config):
     return phase9_eval.run(cfg)
 
 
+def _phase10(cfg: Config):
+    from regen3d_tpu.pipeline import baseline_midi
+    baseline_midi.run(cfg)
+
+
+def _phase11(cfg: Config):
+    from regen3d_tpu.pipeline import baseline_dpa
+    baseline_dpa.run(cfg)
+
+
 PHASES: Dict[int, tuple] = {
     1: ("segmentation (detector + SAM → findings)", _phase1),
     2: ("generative inpainting (amodal + empty room)", _phase2),
@@ -82,6 +92,8 @@ PHASES: Dict[int, tuple] = {
     7: ("scene assembly + background mesh + ICP", _phase7),
     8: ("rendering", _phase8),
     9: ("evaluation", _phase9),
+    10: ("MIDI-3D comparison baseline", _phase10),
+    11: ("DeepPriorAssembly comparison baseline", _phase11),
 }
 
 
@@ -139,7 +151,16 @@ def main(argv: Optional[List[str]] = None) -> None:
     logging.basicConfig(
         level=getattr(logging, str(cfg.get("logging", "INFO")).upper(), 20),
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
-    run_phases(cfg, args.phases, args.exclude, args.profile_dir,
+    phases = args.phases
+    if phases == list(range(1, 10)):
+        # baseline flags swap the default flow (reference run.py:468-482:
+        # Use_MIDI → [MIDI_2d_to_3d, scene_optim, evaluation];
+        # Use_DPA → [DPA_2d_to_3d]); explicit -p always wins
+        if bool(cfg.get("Use_MIDI", False)):
+            phases = [10, 7, 9]
+        elif bool(cfg.get("Use_DPA", False)):
+            phases = [11]
+    run_phases(cfg, phases, args.exclude, args.profile_dir,
                stop_on_error=not args.continue_on_error)
 
 

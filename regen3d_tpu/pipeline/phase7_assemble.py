@@ -88,8 +88,24 @@ def extract_intrinsics(cfg: Config, pipeline=None) -> Optional[str]:
 
 def combine_scene_glb(cfg: Config) -> Optional[str]:
     """Merge output/glb/*.glb into combined_scene.glb with material policy
-    (reference: create_glb_scene, global_utils.py:506-601)."""
+    (reference: create_glb_scene, global_utils.py:506-601).
+
+    Under ``Use_MIDI`` the MIDI baseline's scene GLB replaces the
+    per-object combine (reference: scene_optim.py:180-183 copies
+    glb_scene_path_midi over glb_scene_path)."""
     art = Artifacts(cfg)
+    if bool(cfg.get("Use_MIDI", False)):
+        midi_glb = cfg.path("glb_scene_path_midi",
+                            "../output/glb/scene/combined_scene_midi.glb")
+        if os.path.exists(midi_glb):
+            import shutil
+            os.makedirs(os.path.dirname(art.combined_scene_glb),
+                        exist_ok=True)
+            shutil.copyfile(midi_glb, art.combined_scene_glb)
+            log.info("phase7: Use_MIDI — copied %s", midi_glb)
+            return art.combined_scene_glb
+        log.warning("phase7: Use_MIDI set but %s missing — falling back to "
+                    "per-object combine", midi_glb)
     files = sorted(globlib.glob(os.path.join(art.glb_dir, "*.glb")))
     if not files:
         log.warning("phase7: no fitted GLBs to combine")

@@ -170,4 +170,6 @@ class TestFullPipeline:
 
     def test_orchestrator_cli_registry(self):
         from regen3d_tpu.orchestrator import PHASES
-        assert sorted(PHASES) == list(range(1, 10))
+        # 1-9 = the reference pipeline; 10/11 = the MIDI/DPA comparison
+        # baselines (reference run.py:468-482 script swaps)
+        assert sorted(PHASES) == list(range(1, 12))
