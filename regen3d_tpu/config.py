@@ -51,6 +51,9 @@ DEFAULTS: Dict[str, Any] = {
     "output_seg_banana": "../output/findings/banana",
     "depth_scene": "../output/findings/depth.png",
     "depth_large_model": True,
+    # converted Depth-Anything-V2 orbax checkpoint (conversion family
+    # `depth_anything`); empty = analytic depth prior fallback
+    "depth_anything_checkpoint": "",
     "use_points": False,
     "point_method": "max_distance",
     "scale_bounding_boxes": 1.01,

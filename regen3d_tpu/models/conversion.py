@@ -1341,6 +1341,115 @@ def _esrgan_invert(path, arr):
 
 
 # ---------------------------------------------------------------------------
+# Depth-Anything-V2 (depth-anything/Depth-Anything-V2-Small, the phase-1
+# depth.png model — global_utils.py:400-418). Upstream schema: DINOv2
+# trunk under `pretrained.*` (timm block layout + LayerScale), DPT head
+# under `depth_head.*` (projects / resize_layers / scratch.layer_rn /
+# scratch.refinenet{n}.resConfUnit / output_conv). Exact.
+# ---------------------------------------------------------------------------
+
+def depth_anything_rules() -> list:
+    def conv(path):
+        return lambda k, m: path(m) + (
+            "kernel" if m.group("wb") == "weight" else "bias",)
+
+    r = [
+        (r"pretrained\.cls_token", lambda k, m: ("cls_token",), None),
+        (r"pretrained\.pos_embed", lambda k, m: ("pos_embed",), None),
+        _drop(r"pretrained\.mask_token"),
+        (r"pretrained\.patch_embed\.proj\.(?P<wb>weight|bias)",
+         conv(lambda m: ("patch_embed", "proj")), T_CONV),
+        (r"pretrained\.norm\.(?P<wb>weight|bias)",
+         lambda k, m: ("norm", "scale" if m.group("wb") == "weight"
+                       else "bias"), None),
+        (r"depth_head\.projects\.(?P<i>[0-3])\.(?P<wb>weight|bias)",
+         conv(lambda m: (f"project{m.group('i')}",)), T_CONV),
+        (r"depth_head\.resize_layers\.(?P<i>[01])\.(?P<wb>weight|bias)",
+         conv(lambda m: (f"resize{m.group('i')}",)), T_CONVT),
+        (r"depth_head\.resize_layers\.3\.(?P<wb>weight|bias)",
+         conv(lambda m: ("resize3",)), T_CONV),
+        (r"depth_head\.scratch\.layer(?P<n>[1-4])_rn\.weight",
+         lambda k, m: (f"layer{m.group('n')}_rn", "kernel"), T_CONV),
+        (r"depth_head\.scratch\.refinenet(?P<n>[1-4])\."
+         r"resConfUnit(?P<u>[12])\.conv(?P<c>[12])\.(?P<wb>weight|bias)",
+         conv(lambda m: (f"refinenet{m.group('n')}",
+                         f"resConfUnit{m.group('u')}",
+                         f"conv{m.group('c')}")), T_CONV),
+        (r"depth_head\.scratch\.refinenet(?P<n>[1-4])\.out_conv\."
+         r"(?P<wb>weight|bias)",
+         conv(lambda m: (f"refinenet{m.group('n')}", "out_conv")), T_CONV),
+        (r"depth_head\.scratch\.output_conv1\.(?P<wb>weight|bias)",
+         conv(lambda m: ("output_conv1",)), T_CONV),
+        (r"depth_head\.scratch\.output_conv2\.0\.(?P<wb>weight|bias)",
+         conv(lambda m: ("output_conv2a",)), T_CONV),
+        (r"depth_head\.scratch\.output_conv2\.2\.(?P<wb>weight|bias)",
+         conv(lambda m: ("output_conv2b",)), T_CONV),
+    ]
+    r += _vit_block_rules(r"pretrained\.blocks\.(?P<i>\d+)",
+                          lambda m: (f"block{m.group('i')}",),
+                          fused=True, layer_scale=True)
+    return r
+
+
+def _depth_anything_tiny_init():
+    import jax
+    import jax.numpy as jnp
+
+    from regen3d_tpu.models.depth_anything import (
+        DepthAnything,
+        DepthAnythingConfig,
+    )
+    c = DepthAnythingConfig.tiny()
+    return DepthAnything(c).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, c.image_size, c.image_size, 3)))
+
+
+def _depth_anything_invert(path, arr):
+    a = np.asarray(arr)
+    wb = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+    if path[0] == "cls_token":
+        return ("pretrained.cls_token", a)
+    if path[0] == "pos_embed":
+        return ("pretrained.pos_embed", a)
+    if path[0] == "patch_embed":
+        return (f"pretrained.patch_embed.proj.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0] == "norm":
+        return (f"pretrained.norm.{wb[path[-1]]}", a)
+    if path[0].startswith("block"):
+        i = path[0][5:]
+        return _invert_vit_block((path[0],), f"pretrained.blocks.{i}",
+                                 path, arr)
+    if path[0].startswith("project"):
+        return (f"depth_head.projects.{path[0][7:]}.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0].startswith("resize"):
+        i = path[0][6:]
+        if i in ("0", "1"):
+            return (f"depth_head.resize_layers.{i}.{wb[path[-1]]}",
+                    j2t_convtranspose(a) if path[-1] == "kernel" else a)
+        return (f"depth_head.resize_layers.{i}.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0].endswith("_rn"):
+        return (f"depth_head.scratch.{path[0]}.weight", j2t_conv(a))
+    if path[0].startswith("refinenet"):
+        sub = (f"{path[1]}.{path[2]}" if len(path) == 4 else path[1])
+        return (f"depth_head.scratch.{path[0]}.{sub}.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0] == "output_conv1":
+        return (f"depth_head.scratch.output_conv1.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0] == "output_conv2a":
+        return (f"depth_head.scratch.output_conv2.0.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    if path[0] == "output_conv2b":
+        return (f"depth_head.scratch.output_conv2.2.{wb[path[-1]]}",
+                j2t_conv(a) if path[-1] == "kernel" else a)
+    return None
+
+
+# ---------------------------------------------------------------------------
 # diverged families: detector (Grounding-DINO → OWL-style; deformable
 # attention has no TPU-native equivalent, models/detector.py docstring),
 # saliency (2.4k-LoC VST → compact T2T encoder + saliency token), matting
@@ -1405,6 +1514,10 @@ def _no_invert(path, arr):
 FAMILIES: Dict[str, Family] = {
     "esrgan": Family("esrgan", "exact", esrgan_rules, _esrgan_tiny_init,
                      _esrgan_invert),
+    "depth_anything": Family("depth_anything", "exact",
+                             depth_anything_rules,
+                             _depth_anything_tiny_init,
+                             _depth_anything_invert),
     "detector": Family("detector", "diverged",
                        _diverged_rules("detector",
                                        "IDEA-Research/grounding-dino-base"),

@@ -29,15 +29,24 @@ log = logging.getLogger(__name__)
 
 
 def estimate_depth(image: np.ndarray, model=None, params=None) -> np.ndarray:
-    """(H, W, 3) uint8 → (H, W) float relative depth in [0, 1]."""
+    """(H, W, 3) uint8 → (H, W) float relative depth in [0, 1].
+
+    Accepts either the DepthAnything model (models/depth_anything.py —
+    (B, H, W, 3) → (B, H, W)) or a VGGT-style model returning a
+    {"depth": (B, F, H, W)} dict."""
     if model is not None and params is not None:
         import jax
         import jax.numpy as jnp
-        size = 518
+
+        from regen3d_tpu.models.depth_anything import DepthAnything
+        size = getattr(getattr(model, "cfg", None), "image_size", 518)
         img = jax.image.resize(jnp.asarray(image, jnp.float32) / 255.0,
                                (size, size, 3), "bilinear")
-        out = model.apply(params, img[None, None])
-        d = np.asarray(out["depth"][0, 0])
+        if isinstance(model, DepthAnything):
+            d = np.asarray(jax.jit(model.apply)(params, img[None])[0])
+        else:
+            out = model.apply(params, img[None, None])
+            d = np.asarray(out["depth"][0, 0])
         d = (d - d.min()) / max(d.max() - d.min(), 1e-9)
         import jax.image as jimage
         return np.asarray(jimage.resize(jnp.asarray(d), image.shape[:2],
@@ -53,6 +62,16 @@ def estimate_depth(image: np.ndarray, model=None, params=None) -> np.ndarray:
 
 def run(cfg: Config, model=None, params=None) -> Optional[str]:
     art = Artifacts(cfg)
+    ckpt = str(cfg.get("depth_anything_checkpoint", "") or "")
+    if model is None and ckpt and os.path.exists(ckpt):
+        from regen3d_tpu.models.depth_anything import (
+            DepthAnything,
+            DepthAnythingConfig,
+        )
+        from regen3d_tpu.models.weights import load_checkpoint
+        model = DepthAnything(DepthAnythingConfig.small())
+        params = load_checkpoint(ckpt)
+        log.info("depth: Depth-Anything checkpoint %s", ckpt)
     img = load_image_rgb(cfg.path("input_image"), max_side=1280)
     depth = estimate_depth(img, model, params)
     out = art.depth_scene

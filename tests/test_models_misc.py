@@ -152,3 +152,38 @@ class TestUpscalePipeline:
         out = Image.open(os.path.join(art.findings, "upscaled", "cropped",
                                       "chair__(5, 5).png"))
         assert out.size == (512, 512)
+
+
+class TestDepthAnything:
+    def test_forward_shape_and_range(self):
+        from regen3d_tpu.models.depth_anything import (
+            DepthAnything,
+            DepthAnythingConfig,
+        )
+        c = DepthAnythingConfig.tiny()
+        m = DepthAnything(c)
+        p = m.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, c.image_size, c.image_size, 3)))
+        img = jax.random.uniform(jax.random.PRNGKey(1),
+                                 (2, c.image_size, c.image_size, 3))
+        d = m.apply(p, img)
+        assert d.shape == (2, c.image_size, c.image_size)
+        assert bool(jnp.all(d >= 0))
+
+    def test_estimate_depth_dispatch(self):
+        import numpy as np
+
+        from regen3d_tpu.models.depth_anything import (
+            DepthAnything,
+            DepthAnythingConfig,
+        )
+        from regen3d_tpu.pipeline.depth import estimate_depth
+        c = DepthAnythingConfig.tiny()
+        m = DepthAnything(c)
+        p = m.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, c.image_size, c.image_size, 3)))
+        img = (np.random.default_rng(0).random((40, 60, 3)) * 255
+               ).astype(np.uint8)
+        d = estimate_depth(img, m, p)
+        assert d.shape == (40, 60)
+        assert d.min() >= 0.0 and d.max() <= 1.0
