@@ -52,6 +52,12 @@ class VGGTConfig:
     num_register_tokens: int = 4
     camera_iterations: int = 4
     camera_trunk_depth: int = 4
+    # FastVGGT-style training-free token merging for the GLOBAL attention
+    # blocks (PAPERS.md: arXiv 2509.02560): fraction of non-reference-frame
+    # patch tokens merged into their most similar reference token before
+    # global attention and copied back after. 0 disables. No weight
+    # changes — applies to converted checkpoints as-is.
+    token_merge_ratio: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -95,6 +101,63 @@ class DinoBackbone(nn.Module):
         return x[:, 1:], (gh, gw)  # drop cls
 
 
+def _merge_global_tokens(g, f, n_tok, n_special, r):
+    """FastVGGT-style bipartite merge for one batch element.
+
+    g (f·n_tok, D): frame-0 tokens are destinations; the r most-redundant
+    non-reference PATCH tokens (highest cosine similarity to any
+    destination) are averaged into their best destination; special tokens
+    and the remaining sources pass through. Returns (compact tokens,
+    info for :func:`_unmerge_global_tokens`). All shapes static.
+    """
+    d = g.shape[-1]
+    dst = g[:n_tok]
+    src = g[n_tok:].reshape(f - 1, n_tok, d)
+    src_spec = src[:, :n_special].reshape(-1, d)
+    src_patch = src[:, n_special:].reshape(-1, d)        # (M, D)
+    m = src_patch.shape[0]
+
+    a = src_patch / jnp.maximum(
+        jnp.linalg.norm(src_patch, axis=-1, keepdims=True), 1e-6)
+    bb = dst / jnp.maximum(jnp.linalg.norm(dst, axis=-1, keepdims=True),
+                           1e-6)
+    sim = (a @ bb.T).astype(jnp.float32)                 # (M, n_tok) MXU
+    best = jnp.argmax(sim, axis=-1)                      # (M,)
+    score = jnp.max(sim, axis=-1)
+    order = jnp.argsort(score)                           # ascending
+    kept_idx = order[:m - r]
+    merged_idx = order[m - r:]
+    merged_mask = jnp.zeros((m,), g.dtype).at[merged_idx].set(1.0)
+
+    onehot = jax.nn.one_hot(best, n_tok, dtype=g.dtype) \
+        * merged_mask[:, None]                           # (M, n_tok)
+    counts = jnp.sum(onehot, axis=0)                     # (n_tok,)
+    dst_new = (dst + onehot.T @ src_patch) / (1.0 + counts)[:, None]
+
+    compact = jnp.concatenate(
+        [dst_new, src_spec, src_patch[kept_idx]], axis=0)
+    return compact, (best, kept_idx, merged_idx)
+
+
+def _unmerge_global_tokens(out, info, f, n_tok, n_special):
+    """Inverse of :func:`_merge_global_tokens`: merged sources take their
+    destination token's output (the FastVGGT copy-back)."""
+    best, kept_idx, merged_idx = info
+    d = out.shape[-1]
+    n_spec_all = (f - 1) * n_special
+    out_dst = out[:n_tok]
+    out_spec = out[n_tok:n_tok + n_spec_all]
+    out_kept = out[n_tok + n_spec_all:]
+    m = kept_idx.shape[0] + merged_idx.shape[0]
+    patch = jnp.zeros((m, d), out.dtype)
+    patch = patch.at[kept_idx].set(out_kept)
+    patch = patch.at[merged_idx].set(out_dst[best[merged_idx]])
+    src = jnp.concatenate(
+        [out_spec.reshape(f - 1, n_special, d),
+         patch.reshape(f - 1, -1, d)], axis=1)
+    return jnp.concatenate([out_dst, src.reshape(-1, d)], axis=0)
+
+
 class Aggregator(nn.Module):
     """Alternating-attention trunk; returns per-layer [frame‖global]
     concatenated tokens (the heads' 2·width input)."""
@@ -129,8 +192,25 @@ class Aggregator(nn.Module):
                          name=f"frame_block{i}")(h)
             frame_out = h.reshape(b, f, n_tok, c.width)
             g = frame_out.reshape(b, f * n_tok, c.width)
-            g = ViTBlock(c.num_heads, dtype=c.dtype,
-                         name=f"global_block{i}")(g)
+            block = ViTBlock(c.num_heads, dtype=c.dtype,
+                             name=f"global_block{i}")
+            n_special = 1 + c.num_register_tokens
+            n_patch_src = (f - 1) * (n_tok - n_special)
+            r = int(c.token_merge_ratio * n_patch_src)
+            if r > 0 and f > 1:
+                # FastVGGT token merging: global attention runs on the
+                # compact set; merged tokens copy their destination's
+                # output back (training-free, weight-compatible)
+                compact, info = jax.vmap(
+                    lambda t: _merge_global_tokens(t, f, n_tok, n_special,
+                                                   r))(g)
+                out = block(compact)
+                g = jax.vmap(
+                    lambda t, bi, ki, mi: _unmerge_global_tokens(
+                        t, (bi, ki, mi), f, n_tok, n_special)
+                )(out, *info)
+            else:
+                g = block(g)
             x = g.reshape(b, f, n_tok, c.width)
             taps.append(jnp.concatenate([frame_out, x], axis=-1))  # 2·width
         return taps, (gh, gw)

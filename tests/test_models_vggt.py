@@ -116,3 +116,84 @@ class TestVGGT:
         imgs = jnp.ones((1, 1, cfg.image_size, cfg.image_size, 3))
         out = jax.jit(model.apply)(params, imgs)
         assert np.all(np.isfinite(np.asarray(out["depth"])))
+
+
+class TestFastVGGTTokenMerging:
+    """FastVGGT-style training-free token merging (PAPERS.md: arXiv
+    2509.02560): merged non-reference patch tokens ride their most similar
+    frame-0 token through global attention."""
+
+    def test_merge_unmerge_identity_structure(self):
+        from regen3d_tpu.models.vggt import (
+            _merge_global_tokens,
+            _unmerge_global_tokens,
+        )
+        rng = np.random.default_rng(0)
+        f, n_tok, n_special, d = 3, 8, 2, 16
+        g = jnp.asarray(rng.normal(size=(f * n_tok, d)).astype(np.float32))
+        r = 4
+        compact, info = _merge_global_tokens(g, f, n_tok, n_special, r)
+        assert compact.shape == (f * n_tok - r, d)
+        # identity "attention": unmerge of the compact set reproduces the
+        # kept tokens exactly and maps merged ones onto their destination
+        out = _unmerge_global_tokens(compact, info, f, n_tok, n_special)
+        assert out.shape == g.shape
+        best, kept_idx, merged_idx = info
+        src_patch = g[n_tok:].reshape(f - 1, n_tok, d)[:, n_special:] \
+            .reshape(-1, d)
+        np.testing.assert_allclose(
+            np.asarray(out[n_tok:].reshape(f - 1, n_tok, d)[:, n_special:]
+                       .reshape(-1, d)[np.asarray(kept_idx)]),
+            np.asarray(src_patch[np.asarray(kept_idx)]), atol=1e-6)
+
+    def test_duplicate_tokens_merge_losslessly(self):
+        """When a source patch token EQUALS a frame-0 token, merging it is
+        exact: the destination average is unchanged and the copy-back
+        returns the destination output."""
+        from regen3d_tpu.models.vggt import (
+            _merge_global_tokens,
+            _unmerge_global_tokens,
+        )
+        rng = np.random.default_rng(1)
+        f, n_tok, n_special, d = 2, 6, 1, 8
+        dst = rng.normal(size=(n_tok, d)).astype(np.float32)
+        src = dst.copy()          # frame 1 duplicates frame 0
+        g = jnp.asarray(np.concatenate([dst, src]))
+        r = 3
+        compact, info = _merge_global_tokens(g, f, n_tok, n_special, r)
+        best, kept_idx, merged_idx = info
+        # each merged duplicate matched its own duplicate destination
+        patch_src = src[n_special:]
+        for mi in np.asarray(merged_idx):
+            np.testing.assert_allclose(
+                np.asarray(compact[np.asarray(best)[mi]]),
+                patch_src[mi], atol=1e-5)
+
+    def test_full_model_runs_with_merging(self):
+        from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+        import dataclasses
+        c = dataclasses.replace(VGGTConfig.tiny(), token_merge_ratio=0.5)
+        m = VGGT(c)
+        imgs = jnp.zeros((1, 3, c.image_size, c.image_size, 3))
+        p = m.init(jax.random.PRNGKey(0), imgs)
+        out = jax.jit(m.apply)(p, imgs)
+        assert out["depth"].shape == (1, 3, c.image_size, c.image_size)
+        assert bool(jnp.all(jnp.isfinite(out["depth"])))
+
+    def test_params_identical_with_and_without_merging(self):
+        """Training-free: the merge knob must not change the parameter
+        tree (converted checkpoints load either way)."""
+        import dataclasses
+
+        from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+        c0 = VGGTConfig.tiny()
+        c1 = dataclasses.replace(c0, token_merge_ratio=0.7)
+        imgs = jnp.zeros((1, 2, c0.image_size, c0.image_size, 3))
+        p0 = VGGT(c0).init(jax.random.PRNGKey(0), imgs)
+        p1 = VGGT(c1).init(jax.random.PRNGKey(0), imgs)
+        t0 = jax.tree_util.tree_structure(p0)
+        t1 = jax.tree_util.tree_structure(p1)
+        assert t0 == t1
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            assert a.shape == b.shape

@@ -233,3 +233,22 @@ class TestPhase8EndToEnd:
         # corners are background → blue-dominant HDRI color
         corner = img[:4, :4]
         assert corner[..., 2].mean() > corner[..., 0].mean()
+
+
+class TestRealHDRIAsset:
+    def test_reference_hdri_haven_file(self):
+        """The reference ships kloofendal_overcast_puresky_1k.hdr
+        (input_images/raw — the config.yaml:370 hdri_path asset family);
+        our RLE Radiance decoder must read it correctly."""
+        import os
+        path = ("/root/reference/input_images/raw/"
+                "kloofendal_overcast_puresky_1k.hdr")
+        if not os.path.exists(path):
+            pytest.skip("reference HDRI asset not present")
+        env = load_hdr(path)
+        assert env.shape == (512, 1024, 3)
+        assert env.dtype == np.float32
+        # HDR content: above-1 sky radiance, non-negative everywhere
+        assert env.max() > 1.0 and env.min() >= 0.0
+        # overcast sky upper hemisphere is brighter than the ground
+        assert env[:256].mean() > env[256:].mean()
