@@ -1,0 +1,114 @@
+"""Fused single-jit scene step (phases 4→6 with no host round-trips)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+from regen3d_tpu.pipeline.pose_fit import FitConfig
+from regen3d_tpu.pipeline.scene_step import scene_step
+
+
+def _cube(side=0.3):
+    v = np.asarray([[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                    [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]],
+                   np.float32) * side / 2
+    f = np.asarray([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                    [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                    [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int32)
+    return v, f
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    c = VGGTConfig.tiny()
+    model = VGGT(c)
+    s = c.image_size
+    imgs = jnp.asarray(np.random.default_rng(0).random((2, s, s, 3)),
+                       jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), imgs[None])
+    masks = np.zeros((2, s, s), bool)
+    masks[0, 2:12, 2:12] = True
+    masks[1, 14:26, 14:26] = True
+    v, f = _cube()
+    verts = jnp.asarray(np.stack([v, v]))
+    faces = jnp.asarray(np.stack([f, f]))
+    return c, model, params, imgs, jnp.asarray(masks), verts, faces
+
+
+class TestSceneStep:
+    def test_single_jit_end_to_end(self, tiny_setup):
+        c, model, params, imgs, masks, verts, faces = tiny_setup
+        cfg = FitConfig(image_hw=(c.image_size, c.image_size), sigma=1e-4,
+                        max_iterations=3, early_stop_min_iters=3,
+                        record_history=False)
+        res = scene_step(params, model, imgs, masks, verts,
+                         jnp.ones(verts.shape[:2], bool), faces,
+                         jnp.ones(faces.shape[:2], bool), cfg,
+                         num_points=64)
+        assert res.verts_world.shape == verts.shape
+        assert np.all(np.isfinite(np.asarray(res.verts_world)))
+        assert np.all(np.isfinite(np.asarray(res.losses)))
+        assert res.depth.shape == (c.image_size, c.image_size)
+
+    def test_extracted_points_come_from_the_mask(self, tiny_setup):
+        """The static-size phase-5 crop must pick exactly pixel-aligned
+        cloud points inside each object's mask."""
+        c, model, params, imgs, masks, verts, faces = tiny_setup
+        cfg = FitConfig(image_hw=(c.image_size, c.image_size), sigma=1e-4,
+                        max_iterations=1, early_stop_min_iters=1,
+                        record_history=False)
+        res = scene_step(params, model, imgs, masks, verts,
+                         jnp.ones(verts.shape[:2], bool), faces,
+                         jnp.ones(faces.shape[:2], bool), cfg,
+                         num_points=64)
+        m = np.asarray(masks).reshape(2, -1)
+        for k in range(2):
+            valid = np.asarray(res.points_valid[k])
+            # exactly min(P, |mask|) points selected, all finite, disjoint
+            # masks yield disjoint clouds (bf16 jit-vs-eager drift on a
+            # random-init net rules out bitwise cloud comparison; the
+            # camera-bridge test below pins spatial membership)
+            assert valid.sum() == min(64, m[k].sum())
+            assert np.all(np.isfinite(np.asarray(res.points[k])[valid]))
+        p0 = np.asarray(res.points[0])[np.asarray(res.points_valid[0])]
+        p1 = np.asarray(res.points[1])[np.asarray(res.points_valid[1])]
+        d01 = np.linalg.norm(p0[:, None] - p1[None], axis=-1)
+        assert d01.min() > 0, "disjoint masks produced a shared point"
+
+    def test_camera_bridge_projects_into_mask(self, tiny_setup):
+        """Convention parity: extracted points projected through the
+        bridged P3D camera must land inside their own mask's bbox —
+        this pins the OpenCV→P3D diag(−1,−1,1) mapping."""
+        from regen3d_tpu.camera import Camera
+        from regen3d_tpu.models.vggt import pose_encoding_to_camera
+
+        c, model, params, imgs, masks, verts, faces = tiny_setup
+        cfg = FitConfig(image_hw=(c.image_size, c.image_size), sigma=1e-4,
+                        max_iterations=1, early_stop_min_iters=1,
+                        record_history=False)
+        res = scene_step(params, model, imgs, masks, verts,
+                         jnp.ones(verts.shape[:2], bool), faces,
+                         jnp.ones(faces.shape[:2], bool), cfg,
+                         num_points=32)
+        out = model.apply(params, imgs[None])
+        dec = pose_encoding_to_camera(out["pose_enc"][0],
+                                      (c.image_size, c.image_size))
+        D = jnp.asarray([-1.0, -1.0, 1.0])
+        cam = Camera(R=jnp.asarray(dec["R"][0]).T * D[None, :],
+                     T=jnp.asarray(dec["t"][0]) * D,
+                     focal=jnp.stack([dec["fx"][0], dec["fy"][0]]),
+                     principal=jnp.stack([dec["cx"][0], dec["cy"][0]]),
+                     image_size=(c.image_size, c.image_size))
+        for k in range(2):
+            valid = np.asarray(res.points_valid[k])
+            pts = jnp.asarray(np.asarray(res.points[k])[valid])
+            uv, z = cam.project(pts)
+            ys, xs = np.where(np.asarray(masks[k]))
+            u = np.asarray(uv[:, 0])
+            v = np.asarray(uv[:, 1])
+            assert np.all(u >= xs.min() - 1) and np.all(u <= xs.max() + 2)
+            assert np.all(v >= ys.min() - 1) and np.all(v <= ys.max() + 2)
