@@ -152,6 +152,7 @@ DEFAULTS: Dict[str, Any] = {
     "dbscan_min_points": 10,
     "mask_shrink_pixels": 4,
     "mask_shrink_iterations": 4,
+    "debug_save": False,
     "mask_folder": "../output/masks",
     "output_ply": "../output/pointclouds/",
     # --- phase 6: differentiable-rendering pose fit ---------------------------

@@ -300,6 +300,10 @@ def run(cfg: Config) -> Dict[str, float]:
                 jnp.asarray(v_fit), jnp.asarray(tgt_local.astype(np.float32)),
                 num_steps=steps, chunk=1024)
             init_yaw[i] = float(yaw) / float(cfg.get("rotation_speed_mult", 8.0))
+            if bool(cfg.get("debug_save", False)):
+                _dump_rotation_grid(cfg, stem, v_fit,
+                                    tgt_local.astype(np.float32), steps,
+                                    float(yaw))
 
         vv, vm = _pad_to(v_fit.astype(np.float32), vmax)
         ff, fm = _pad_to(df.astype(np.int32), fit_faces)
@@ -390,7 +394,59 @@ def run(cfg: Config) -> Dict[str, float]:
 
     if bool(cfg.get("write_fit_gifs", True)) and fit_cfg.record_history:
         _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam)
+    if bool(cfg.get("debug_save", False)):
+        _dump_silhouette_debug(cfg, jobs, batch, final_v, fit_cfg, cam)
     return out
+
+
+def _dump_rotation_grid(cfg, stem: str, verts: np.ndarray,
+                        target: np.ndarray, steps: int,
+                        best_yaw: float) -> None:
+    """Rotation-grid debug PLYs (reference: pose_matching_planar.py:243-330
+    under debug_save): output/rot_grid_debug/<stem>/ gets the centered
+    target/mesh, every candidate rotation, and the winner."""
+    from regen3d_tpu.transforms.rotations import yaw_rotation
+    from regen3d_tpu.utils.ply import save_ply
+
+    out_dir = os.path.join(cfg.path("output", "../output"),
+                           "rot_grid_debug", stem)
+    os.makedirs(out_dir, exist_ok=True)
+    save_ply(os.path.join(out_dir, "target_centered.ply"), target)
+    save_ply(os.path.join(out_dir, "mesh_centered.ply"), verts)
+    angles = np.arange(steps, dtype=np.float32) * (2 * np.pi / steps)
+    for a in angles:
+        deg = float(a) * 180.0 / np.pi
+        R = np.asarray(yaw_rotation(jnp.asarray(a)))
+        save_ply(os.path.join(out_dir, f"mesh_rot_{deg:.1f}.ply"),
+                 (verts @ R).astype(np.float32))
+    best_deg = best_yaw * 180.0 / np.pi
+    Rb = np.asarray(yaw_rotation(jnp.asarray(best_yaw)))
+    save_ply(os.path.join(out_dir, f"mesh_rot_best_{best_deg:.1f}.ply"),
+             (verts @ Rb).astype(np.float32))
+    log.info("phase6: rotation-grid debug → %s (%d candidates)", out_dir,
+             steps)
+
+
+def _dump_silhouette_debug(cfg, jobs, batch, final_v, fit_cfg, cam) -> None:
+    """current_silhouette / mask debug PNGs in the temp dir (reference:
+    save_img_to_temp, global_utils.py:421-441, called at
+    pose_matching_planar.py:947,1620)."""
+    from regen3d_tpu.ops.rasterize import soft_silhouette
+    from regen3d_tpu.utils.image import save_image
+
+    temp_dir = cfg.path("temp", "../temp")
+    os.makedirs(temp_dir, exist_ok=True)
+    for i, (stem, *_rest) in enumerate(jobs):
+        vs = cam.view_to_screen(cam.world_to_view(jnp.asarray(final_v[i])))
+        alpha = np.asarray(soft_silhouette(
+            vs, batch.faces[i], fit_cfg.image_hw,
+            sigma=max(fit_cfg.sigma, 1e-5),
+            faces_mask=batch.faces_mask[i], chunk=fit_cfg.face_chunk))
+        save_image(os.path.join(temp_dir,
+                                f"current_silhouette_{stem}.png"), alpha)
+        save_image(os.path.join(temp_dir, f"mask_{stem}.png"),
+                   np.asarray(batch.target_mask[i]))
+    log.info("phase6: silhouette debug renders → %s", temp_dir)
 
 
 def _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam,

@@ -169,3 +169,40 @@ class TestPhase6:
         # tests/test_pose_fit.py
         extent = (v.max(0) - v.min(0))
         np.testing.assert_allclose(extent, 2 * GT_HALF, rtol=0.45)
+
+
+class TestDebugArtifacts:
+    def test_rot_grid_and_silhouette_debug(self, synthetic_scene):
+        """debug_save emits the reference's rotation-grid PLYs
+        (pose_matching_planar.py:243-330) and current_silhouette / mask
+        PNGs (save_img_to_temp at :947,1620)."""
+        import glob as globlib
+
+        from regen3d_tpu.config import Config
+        from regen3d_tpu.pipeline import phase6_pose
+
+        from regen3d_tpu.pipeline import phase5_extract
+
+        base = synthetic_scene[0]
+        cfg2 = Config({**base.values, "debug_save": True,
+                       "use_rotation_grid_search": True,
+                       "grid_rotation_steps": 4,
+                       "max_iterations": 3,
+                       "early_stop_min_iterations": 3,
+                       "write_fit_gifs": False}, base.base_dir)
+        phase5_extract.run(cfg2)   # standalone-safe: (re)produce clouds
+        phase6_pose.run(cfg2)
+        out_root = cfg2.path("output")
+        grids = globlib.glob(os.path.join(out_root, "rot_grid_debug", "*"))
+        assert grids, "no rotation-grid debug dirs"
+        d = grids[0]
+        names = set(os.listdir(d))
+        assert "target_centered.ply" in names
+        assert "mesh_centered.ply" in names
+        assert any(n.startswith("mesh_rot_best_") for n in names)
+        assert sum(n.startswith("mesh_rot_") and "best" not in n
+                   for n in names) == 4
+        temp_dir = cfg2.path("temp")
+        pngs = os.listdir(temp_dir)
+        assert any(p.startswith("current_silhouette_") for p in pngs)
+        assert any(p.startswith("mask_") for p in pngs)
