@@ -71,3 +71,36 @@ def test_activation_fixture_runner(tmp_path):
     with pytest.raises(AssertionError):
         conversion.check_activation_fixture(
             "toy", p, lambda x: {"y": x * 3})
+
+
+class TestActivationFixtureHarness:
+    """The recorded-activation parity harness must work the moment a
+    checkpoint + upstream recording lands (VERDICT: make parity
+    falsifiable). Proven here end to end with a self-recorded fixture."""
+
+    def test_fixture_roundtrip_passes_and_detects_mismatch(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from regen3d_tpu.models.esrgan import ESRGANConfig, RRDBNet
+
+        cfg = ESRGANConfig.tiny()
+        model = RRDBNet(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        x = np.random.default_rng(0).random((1, 8, 8, 3)).astype(np.float32)
+        y = np.asarray(model.apply(params, jnp.asarray(x)))
+
+        fix = str(tmp_path / "esrgan.npz")
+        np.savez(fix, input_x=x, expected_y=y)
+
+        def apply_fn(x):
+            return {"y": model.apply(params, jnp.asarray(x))}
+
+        conversion.check_activation_fixture("esrgan", fix, apply_fn,
+                                            atol=1e-5)
+
+        # corrupted expectation must FAIL (the harness is falsifiable)
+        np.savez(fix, input_x=x, expected_y=y + 0.5)
+        with pytest.raises(AssertionError):
+            conversion.check_activation_fixture("esrgan", fix, apply_fn,
+                                                atol=1e-5)
