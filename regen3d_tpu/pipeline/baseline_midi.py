@@ -62,6 +62,13 @@ def run(cfg: Config, sam=None, sam_params=None,
     )
 
     art = Artifacts(cfg)
+    out_glb = cfg.path("glb_scene_path_midi",
+                       "../output/glb/scene/combined_scene_midi.glb")
+    if bool(cfg.get("use_latest_glb", False)) and os.path.exists(out_glb):
+        # debug shortcut: reuse the last generated scene GLB
+        # (reference config.yaml:402 use_latest_glb)
+        log.info("midi: use_latest_glb — reusing %s", out_glb)
+        return out_glb
     out_dir = cfg.path("midi_output", "../output/midi/")
     os.makedirs(out_dir, exist_ok=True)
     image = load_image_rgb(cfg.path("input_image"), max_side=None)
@@ -156,8 +163,6 @@ def run(cfg: Config, sam=None, sam_params=None,
         log.warning("midi: all instances produced empty level sets")
         return None
 
-    out_glb = cfg.path("glb_scene_path_midi",
-                       "../output/glb/scene/combined_scene_midi.glb")
     os.makedirs(os.path.dirname(out_glb), exist_ok=True)
     save_glb(out_glb, SceneData(meshes=meshes))
     log.info("midi: %d instances → %s", len(meshes), out_glb)

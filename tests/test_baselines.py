@@ -46,6 +46,22 @@ class TestMIDIBaseline:
         assert os.path.exists(os.path.join(
             cfg.path("midi_output"), "segmentation.png"))
 
+    def test_use_latest_glb_reuses(self, tmp_path):
+        from regen3d_tpu.pipeline import baseline_midi
+
+        cfg = default_config(str(tmp_path / "output"),
+                             input_image=_room(tmp_path),
+                             num_inference_steps_midi=2,
+                             octree_resolution_hy=24, num_inf_steps_hy=2)
+        first = baseline_midi.run(cfg)
+        mtime = os.path.getmtime(first)
+        cfg2 = default_config(str(tmp_path / "output"),
+                              input_image=_room(tmp_path),
+                              use_latest_glb=True)
+        again = baseline_midi.run(cfg2)
+        assert again == first
+        assert os.path.getmtime(again) == mtime, "GLB was regenerated"
+
     def test_box_mode(self, tmp_path):
         from regen3d_tpu.pipeline import baseline_midi
 
