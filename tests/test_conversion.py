@@ -104,3 +104,20 @@ class TestActivationFixtureHarness:
         with pytest.raises(AssertionError):
             conversion.check_activation_fixture("esrgan", fix, apply_fn,
                                                 atol=1e-5)
+
+
+def test_record_activations_cli(tmp_path):
+    """scripts/record_activations.py --from-ours --verify round-trips."""
+    import runpy
+    import sys
+
+    out = str(tmp_path / "fx.npz")
+    argv0 = sys.argv
+    try:
+        sys.argv = ["record_activations.py", "esrgan", out, "--from-ours",
+                    "--verify"]
+        runpy.run_path("scripts/record_activations.py", run_name="__main__")
+    finally:
+        sys.argv = argv0
+    data = np.load(out)
+    assert "input_x" in data.files and "expected_y" in data.files
