@@ -102,3 +102,37 @@ class TestNpzContract:
         # focal scaled by height ratio 384/768 = 0.5 (cam_utils.py:56-70)
         np.testing.assert_allclose(np.asarray(cam.focal), [400.0, 400.0])
         np.testing.assert_allclose(np.asarray(cam.principal), [256.0, 192.0])
+
+
+class TestPixelRaysWorld:
+    """pixel_rays_world is the inverse of the P3D-sign pinhole projection
+    (used by the phase-8 HDRI environment background)."""
+
+    def test_principal_point_ray_is_forward(self):
+        cam = _simple_camera()
+        d = cam.pixel_rays_world(jnp.asarray(160.0), jnp.asarray(128.0))
+        np.testing.assert_allclose(np.asarray(d), [0.0, 0.0, 1.0],
+                                   atol=1e-6)
+
+    def test_rays_are_unit_and_reproject(self):
+        """A point placed along any pixel's ray projects back onto that
+        pixel — over a grid of pixels, with a rotated camera."""
+        from regen3d_tpu.transforms.rotations import so3_exp
+        R = so3_exp(jnp.asarray([0.2, -0.3, 0.1]))
+        cam = Camera(R=R, T=jnp.asarray([0.4, -0.2, 0.1]),
+                     focal=jnp.asarray([180.0, 190.0]),
+                     principal=jnp.asarray([150.0, 130.0]),
+                     image_size=(256, 320))
+        xs = jnp.asarray([10.0, 150.0, 300.0])
+        ys = jnp.asarray([5.0, 130.0, 250.0])
+        xx, yy = jnp.meshgrid(xs, ys)
+        d = cam.pixel_rays_world(xx, yy)              # (3, 3, 3)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(d, axis=-1)), 1.0, atol=1e-6)
+        pts = cam.center[None, None] + 2.7 * d        # along each ray
+        uv, z = cam.project(pts.reshape(-1, 3))
+        np.testing.assert_allclose(np.asarray(uv[:, 0]),
+                                   np.asarray(xx).ravel(), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(uv[:, 1]),
+                                   np.asarray(yy).ravel(), atol=1e-3)
+        assert np.all(np.asarray(z) > 0)
