@@ -52,6 +52,12 @@ class VGGTConfig:
     num_register_tokens: int = 4
     camera_iterations: int = 4
     camera_trunk_depth: int = 4
+    # DPT depth-head widths — upstream VGGT-1B uses features=256 with
+    # per-tap projection channels (256, 512, 1024, 1024); configurable so
+    # the tiny test config scales down while full-size checkpoint
+    # conversion of depth_head.projects/* stays shape-exact.
+    dpt_features: int = 256
+    dpt_out_channels: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
     # FastVGGT-style training-free token merging for the GLOBAL attention
     # blocks (PAPERS.md: arXiv 2509.02560): fraction of non-reference-frame
     # patch tokens merged into their most similar reference token before
@@ -68,7 +74,8 @@ class VGGTConfig:
     def tiny(cls) -> "VGGTConfig":
         return cls(image_size=28, patch=14, width=64, depth=2, num_heads=4,
                    backbone_depth=2, num_register_tokens=1,
-                   camera_iterations=2, camera_trunk_depth=1)
+                   camera_iterations=2, camera_trunk_depth=1,
+                   dpt_features=32, dpt_out_channels=(32, 32, 64, 64))
 
 
 class DinoBackbone(nn.Module):
@@ -250,10 +257,13 @@ class CameraHead(nn.Module):
             mod = modulation(nn.silu(embed_pose(enc.astype(c.dtype))))
             shift, scale, gate = jnp.split(mod, 3, axis=-1)
             z = adaln_norm(h0) * (1 + scale) + shift
-            z = (gate * z).reshape(b * f, 1, d)
+            # upstream adds the gated modulated tokens RESIDUALLY back to
+            # the pose tokens, and the trunk attends over the frame axis
+            # (B, F, D) so frames refine their poses jointly
+            z = h0 + gate * z
             for blk in trunk:
                 z = blk(z)
-            z = trunk_norm(z).reshape(b, f, d)
+            z = trunk_norm(z)
             enc = enc + branch(z.astype(jnp.float32))
         return enc  # (B, F, 9)
 
@@ -302,13 +312,12 @@ class DPTHead(nn.Module):
 
     cfg: VGGTConfig
     out_channels: int = 1
-    features: int = 128
 
     @nn.compact
     def __call__(self, taps, grid_hw, out_hw):
         c = self.cfg
         gh, gw = grid_hw
-        fe = self.features
+        fe = c.dpt_features
 
         def resize_to(x, s):
             return jax.image.resize(
@@ -318,7 +327,7 @@ class DPTHead(nn.Module):
         # per-tap: strip special tokens, project, resize to the pyramid level
         outs = []
         scales = (4.0, 2.0, 1.0, 0.5)
-        chans = (fe, fe, fe * 2, fe * 2)
+        chans = c.dpt_out_channels
         for i, t in enumerate(taps):
             patch = t[:, :, -(gh * gw):, :]
             b, f = patch.shape[:2]

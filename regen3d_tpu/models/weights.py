@@ -44,6 +44,7 @@ def convert_state_dict(
     state: Dict[str, np.ndarray],
     rules: List[Rule],
     strict: bool = False,
+    unmapped_out: List[str] | None = None,
 ) -> Dict[str, Any]:
     """Apply mapping rules to a torch state_dict, build a nested flax tree.
 
@@ -51,7 +52,9 @@ def convert_state_dict(
     torch array to that leaf) or a LIST of path tuples (the transform must
     return a matching list of arrays — e.g. an upstream fused qkv split into
     separate q/k/v kernels). A path_fn returning None drops the key
-    explicitly (counted as mapped)."""
+    explicitly (counted as mapped). Pass ``unmapped_out`` (a list) to
+    receive the unmapped key names directly — callers gating on coverage
+    should use this, not the log output."""
     out: Dict[str, Any] = {}
     unused = []
 
@@ -81,6 +84,8 @@ def convert_state_dict(
             break
         if not matched:
             unused.append(key)
+    if unmapped_out is not None:
+        unmapped_out.extend(unused)
     if unused:
         msg = f"{len(unused)} unmapped torch keys (e.g. {unused[:5]})"
         if strict:

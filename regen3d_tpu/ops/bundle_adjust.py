@@ -154,8 +154,11 @@ def joint_bundle_adjust(
     pts0 = jnp.asarray(points3d, jnp.float32)
     principal = jnp.asarray(principal, jnp.float32)
 
+    # gauge freeze needs only camera 0's POSE; its focal stays free when
+    # focals are shared so all frames truly converge to one common focal
+    f0_free = 1.0 if (refine_focal and shared_focal) else 0.0
     cam_mask = jnp.concatenate([
-        jnp.zeros((1, 7)),
+        jnp.concatenate([jnp.zeros((1, 6)), jnp.full((1, 1), f0_free)], -1),
         jnp.concatenate([jnp.ones((m - 1, 6)),
                          jnp.full((m - 1, 1),
                                   1.0 if refine_focal else 0.0)], -1)])
@@ -208,12 +211,11 @@ def joint_bundle_adjust(
                         Vinv, gp - jnp.einsum("mnba,mb->na", W, dc))
 
         cand_c = cams - dc * cam_mask
-        if shared_focal:
-            lf = jnp.sum(cand_c[:, 6] * cam_mask[:, 6])
-            den = jnp.maximum(jnp.sum(cam_mask[:, 6]), 1.0)
-            shared = (lf + cams[0, 6] * (1.0 - jnp.minimum(den, 1.0))) / den
-            cand_c = cand_c.at[:, 6].set(
-                jnp.where(cam_mask[:, 6] > 0, shared, cand_c[:, 6]))
+        if shared_focal and refine_focal:
+            # ALL frames share one focal: average the (all-free) candidate
+            # log-focals and assign it everywhere, camera 0 included
+            shared = jnp.mean(cand_c[:, 6])
+            cand_c = cand_c.at[:, 6].set(shared)
         cand_p = pts - dp
 
         better = total_err(cand_c, cand_p) < total_err(cams, pts)

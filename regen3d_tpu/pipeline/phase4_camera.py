@@ -263,8 +263,12 @@ def run_vggt_inference(
         return out, cam
 
     out, cam = forward(params, batch)
+    ba_diag = None
     if bool(cfg.get("use_ba", False)) and len(image_paths) >= 2:
         cam = refine_cameras_with_tracks(cfg, batch[0], out, cam, resolution)
+        # BA diagnostics (python floats/ints) must not reach the per-frame
+        # jax.tree.map below, which calls .ndim on every leaf
+        ba_diag = cam.pop("_ba", None)
     frames: Dict[str, Dict[str, np.ndarray]] = {}
     for i, p in enumerate(image_paths):
         depth = out["depth"][0, i]
@@ -292,6 +296,10 @@ def run_vggt_inference(
             "cx": orig_w / 2.0, "cy": orig_h / 2.0,
             "width": orig_w, "height": orig_h,
         }
+    if ba_diag is not None:
+        first = frames[os.path.basename(image_paths[0])]
+        first["ba_rmse_px"] = float(ba_diag["rmse_px"])
+        first["ba_n_tracks_used"] = int(ba_diag["n_tracks_used"])
     return frames
 
 

@@ -117,21 +117,11 @@ def main() -> None:
     print(f"loaded {len(state)} tensors from {args.checkpoint}")
     rules = conversion.FAMILIES[args.family].rules()
 
-    import logging
-
-    unmapped_count = [0]
-
-    class _Counter(logging.Handler):
-        def emit(self, record):
-            msg = record.getMessage()
-            if "unmapped torch keys" in msg:
-                unmapped_count[0] = int(msg.split(" ")[0])
-
-    logging.getLogger("regen3d_tpu.models.weights").addHandler(_Counter())
-    tree = convert_state_dict(state, rules)
-    frac = unmapped_count[0] / max(len(state), 1)
+    unmapped: list = []
+    tree = convert_state_dict(state, rules, unmapped_out=unmapped)
+    frac = len(unmapped) / max(len(state), 1)
     if frac > args.max_unmapped:
-        print(f"REFUSING to save: {unmapped_count[0]}/{len(state)} "
+        print(f"REFUSING to save: {len(unmapped)}/{len(state)} "
               f"({frac:.1%}) of checkpoint tensors unmapped — the rule "
               f"table does not fit this checkpoint (see "
               f"regen3d_tpu/models/conversion.py '{args.family}').")

@@ -85,7 +85,9 @@ class TestDetector:
         for d in dets:
             assert d.label in ("chair", "table")
             assert 0 <= d.score <= 1
-            assert d.box.xmax > d.box.xmin - 1e59  # boxes are finite numbers
+            assert np.isfinite([d.box.xmin, d.box.ymin,
+                                d.box.xmax, d.box.ymax]).all()
+            assert d.box.xmax >= d.box.xmin and d.box.ymax >= d.box.ymin
 
     def test_tokenizer(self):
         t = tokenize_bytes(["chair"], 12)

@@ -53,15 +53,52 @@ class TestPhase4VGGT:
         uv, z = cam.project(jnp.asarray(world, jnp.float32))
         z = np.asarray(z)
         assert (z > 0).mean() > 0.99  # depths positive through the roundtrip
-        # most points must reproject inside the image. NOTE: camera.npz
-        # stores a single focal = mean(fx, fy) (the reference's contract,
-        # minimal_demo_vggt.py:105); a random-init camera head predicts
-        # unequal FoVs, so edge points drift — bound accordingly. With
-        # trained weights fx≈fy and this approaches 1.0.
+        # Reprojection contract: camera.npz stores a single focal
+        # f̄ = mean(fx, fy) (the reference's layout, minimal_demo_vggt.py:105).
+        # A point unprojected with per-axis focal fx and reprojected with f̄
+        # lands at u' − cx = (f̄/fx)(u − cx), so with uniform pixels the
+        # inside fraction is ≈ min(1, fx/f̄)·min(1, fy/f̄) for ANY head
+        # numerics (random-init included). Pin against that prediction —
+        # with trained weights fx≈fy and both approach 1.0.
         u = np.asarray(uv)
         inside = ((u[:, 0] >= 0) & (u[:, 0] < 128)
                   & (u[:, 1] >= 0) & (u[:, 1] < 96))
-        assert inside.mean() > 0.75
+        fbar = (fr["fx"] + fr["fy"]) / 2.0
+        expected = min(1.0, fr["fx"] / fbar) * min(1.0, fr["fy"] / fbar)
+        assert abs(inside.mean() - expected) < 0.15, \
+            (inside.mean(), expected)
+
+    def test_run_inference_use_ba(self, tmp_path, rng):
+        """use_ba: true end-to-end through run_vggt_inference (regression:
+        the '_ba' diagnostics dict must not reach the per-frame tree.map)."""
+        import jax.numpy as jnp
+        from regen3d_tpu.pipeline import phase4_camera
+
+        out = str(tmp_path / "output")
+        img = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+        inp1 = str(tmp_path / "a.png")
+        inp2 = str(tmp_path / "b.png")
+        save_image(inp1, img)
+        save_image(inp2, np.roll(img, 3, axis=1))
+        cfg = default_config(out, input_image=inp1, conf_thres_value=0.0,
+                             use_ba=True, max_query_pts=64)
+
+        vcfg = VGGTConfig.tiny()
+        model = VGGT(vcfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 2, vcfg.image_size,
+                                       vcfg.image_size, 3)))
+        frames = phase4_camera.run_vggt_inference(
+            cfg, params, model, (inp1, inp2), resolution=vcfg.image_size)
+        assert len(frames) == 2
+        first = frames["a.png"]
+        assert "ba_rmse_px" in first and np.isfinite(first["ba_rmse_px"])
+        assert first["ba_n_tracks_used"] >= 0
+        for fr in frames.values():
+            assert fr["points"].shape[1] == 3
+        phase4_camera.export_reconstruction(cfg, frames)
+        art = Artifacts(cfg)
+        assert os.path.exists(art.camera_npz)
 
     def test_preprocessing_preserves_aspect(self, tmp_path, rng):
         """Non-square inputs are square-PADDED (centered), never distorted
