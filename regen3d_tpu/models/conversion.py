@@ -1508,6 +1508,148 @@ def _no_invert(path, arr):
 
 
 # ---------------------------------------------------------------------------
+# flux — FLUX.1 MMDiT (diffusers FluxTransformer2DModel layout), the
+# reference's FLUX upscaler backbone (src/segmentation/upscaler.py:26-39)
+# ---------------------------------------------------------------------------
+
+def flux_rules() -> list:
+    lin = lambda path: lambda k, m: path(m) + (
+        ("kernel" if m.group("wb") == "weight" else "bias"),)
+    r = []
+    for tk, ours in (("x_embedder", "x_in"), ("context_embedder", "cond_in"),
+                     ("proj_out", "proj_out")):
+        r.append((rf"{tk}\.(?P<wb>weight|bias)",
+                  lin(lambda m, ours=ours: (ours,)), T_LIN))
+    for tk, ours in (("timestep_embedder", ("t_in", "t_out")),
+                     ("guidance_embedder", ("g_in", "g_out")),
+                     ("text_embedder", ("p_in", "p_out"))):
+        r.append((rf"time_text_embed\.{tk}\.linear_(?P<n>[12])"
+                  rf"\.(?P<wb>weight|bias)",
+                  lin(lambda m, ours=ours: (ours[int(m.group("n")) - 1],)),
+                  T_LIN))
+    r.append((r"norm_out\.linear\.(?P<wb>weight|bias)",
+              lin(lambda m: ("norm_out_lin",)), T_LIN))
+
+    D = r"transformer_blocks\.(?P<i>\d+)"
+    blk = lambda m: (f"double{m.group('i')}",)
+    r.append((rf"{D}\.norm1\.linear\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("mod_img",)), T_LIN))
+    r.append((rf"{D}\.norm1_context\.linear\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("mod_txt",)), T_LIN))
+    r.append((rf"{D}\.attn\.to_(?P<p>[qkv])\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("attn", m.group("p"))), T_LIN))
+    r.append((rf"{D}\.attn\.norm_(?P<p>[qk])\.weight",
+              lambda k, m: blk(m) + ("attn", f"{m.group('p')}_norm",
+                                     "scale"), None))
+    r.append((rf"{D}\.attn\.add_(?P<p>[qkv])_proj\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("attn_add", f"add_{m.group('p')}")),
+              T_LIN))
+    r.append((rf"{D}\.attn\.norm_added_(?P<p>[qk])\.weight",
+              lambda k, m: blk(m) + ("attn_add", f"add_{m.group('p')}_norm",
+                                     "scale"), None))
+    r.append((rf"{D}\.attn\.to_out\.0\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("out",)), T_LIN))
+    r.append((rf"{D}\.attn\.to_add_out\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("add_out",)), T_LIN))
+    r.append((rf"{D}\.ff\.net\.0\.proj\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("ff", "fc1")), T_LIN))
+    r.append((rf"{D}\.ff\.net\.2\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("ff", "fc2")), T_LIN))
+    r.append((rf"{D}\.ff_context\.net\.0\.proj\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("ff_txt", "fc1")), T_LIN))
+    r.append((rf"{D}\.ff_context\.net\.2\.(?P<wb>weight|bias)",
+              lin(lambda m: blk(m) + ("ff_txt", "fc2")), T_LIN))
+
+    S = r"single_transformer_blocks\.(?P<i>\d+)"
+    sblk = lambda m: (f"single{m.group('i')}",)
+    r.append((rf"{S}\.norm\.linear\.(?P<wb>weight|bias)",
+              lin(lambda m: sblk(m) + ("mod",)), T_LIN))
+    r.append((rf"{S}\.attn\.to_(?P<p>[qkv])\.(?P<wb>weight|bias)",
+              lin(lambda m: sblk(m) + ("attn", m.group("p"))), T_LIN))
+    r.append((rf"{S}\.attn\.norm_(?P<p>[qk])\.weight",
+              lambda k, m: sblk(m) + ("attn", f"{m.group('p')}_norm",
+                                      "scale"), None))
+    r.append((rf"{S}\.proj_mlp\.(?P<wb>weight|bias)",
+              lin(lambda m: sblk(m) + ("proj_mlp",)), T_LIN))
+    r.append((rf"{S}\.proj_out\.(?P<wb>weight|bias)",
+              lin(lambda m: sblk(m) + ("proj_out",)), T_LIN))
+    return r
+
+
+def _flux_tiny_init():
+    import jax
+    import jax.numpy as jnp
+
+    from regen3d_tpu.models.flux import FluxConfig, FluxTransformer
+    c = FluxConfig.tiny()
+    m = FluxTransformer(c)
+    return m.init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, c.latent_tokens, c.in_channels)),
+                  jnp.zeros((1,)), jnp.zeros((1, 8, c.cond_dim)))
+
+
+def _flux_invert(path, arr):
+    a = np.asarray(arr)
+    wb = {"kernel": "weight", "bias": "bias"}
+    top = {"x_in": "x_embedder", "cond_in": "context_embedder",
+           "proj_out": "proj_out"}
+    emb = {"t_in": ("timestep_embedder", 1), "t_out": ("timestep_embedder", 2),
+           "g_in": ("guidance_embedder", 1), "g_out": ("guidance_embedder", 2),
+           "p_in": ("text_embedder", 1), "p_out": ("text_embedder", 2)}
+    if path[0] in top:
+        return (f"{top[path[0]]}.{wb[path[1]]}",
+                j2t_linear(a) if path[1] == "kernel" else a)
+    if path[0] in emb:
+        name, n = emb[path[0]]
+        return (f"time_text_embed.{name}.linear_{n}.{wb[path[1]]}",
+                j2t_linear(a) if path[1] == "kernel" else a)
+    if path[0] == "norm_out_lin":
+        return (f"norm_out.linear.{wb[path[1]]}",
+                j2t_linear(a) if path[1] == "kernel" else a)
+    if path[0].startswith("double"):
+        i = path[0][6:]
+        P = f"transformer_blocks.{i}"
+        rel = path[1:]
+        tl = lambda: j2t_linear(a) if rel[-1] == "kernel" else a
+        if rel[0] == "mod_img":
+            return (f"{P}.norm1.linear.{wb[rel[1]]}", tl())
+        if rel[0] == "mod_txt":
+            return (f"{P}.norm1_context.linear.{wb[rel[1]]}", tl())
+        if rel[0] == "attn":
+            if rel[1].endswith("_norm"):
+                return (f"{P}.attn.norm_{rel[1][0]}.weight", a)
+            return (f"{P}.attn.to_{rel[1]}.{wb[rel[2]]}", tl())
+        if rel[0] == "attn_add":
+            if rel[1].endswith("_norm"):
+                return (f"{P}.attn.norm_added_{rel[1][4]}.weight", a)
+            return (f"{P}.attn.{rel[1]}_proj.{wb[rel[2]]}", tl())
+        if rel[0] == "out":
+            return (f"{P}.attn.to_out.0.{wb[rel[1]]}", tl())
+        if rel[0] == "add_out":
+            return (f"{P}.attn.to_add_out.{wb[rel[1]]}", tl())
+        if rel[0] == "ff":
+            net = "net.0.proj" if rel[1] == "fc1" else "net.2"
+            return (f"{P}.ff.{net}.{wb[rel[2]]}", tl())
+        if rel[0] == "ff_txt":
+            net = "net.0.proj" if rel[1] == "fc1" else "net.2"
+            return (f"{P}.ff_context.{net}.{wb[rel[2]]}", tl())
+    if path[0].startswith("single"):
+        i = path[0][6:]
+        P = f"single_transformer_blocks.{i}"
+        rel = path[1:]
+        tl = lambda: j2t_linear(a) if rel[-1] == "kernel" else a
+        if rel[0] == "mod":
+            return (f"{P}.norm.linear.{wb[rel[1]]}", tl())
+        if rel[0] == "attn":
+            if rel[1].endswith("_norm"):
+                return (f"{P}.attn.norm_{rel[1][0]}.weight", a)
+            return (f"{P}.attn.to_{rel[1]}.{wb[rel[2]]}", tl())
+        if rel[0] in ("proj_mlp", "proj_out"):
+            return (f"{P}.{rel[0]}.{wb[rel[1]]}", tl())
+    return None
+
+
+# ---------------------------------------------------------------------------
 # registry + self-test
 # ---------------------------------------------------------------------------
 
@@ -1549,6 +1691,12 @@ FAMILIES: Dict[str, Family] = {
     # `marigold <ckpt> <out>` directly.
     "marigold": Family("marigold", "exact", sd_unet_rules,
                        _sd_unet_tiny_init, _sd_unet_invert),
+    # FLUX.1 MMDiT (the FLUX upscaler variant's transformer,
+    # src/segmentation/upscaler.py:26-39). `provisional` like the other
+    # in-house-integrated diffusion backbones: the rule table is complete
+    # and selftested, numerics await a real checkpoint.
+    "flux": Family("flux", "provisional", flux_rules, _flux_tiny_init,
+                   _flux_invert),
 }
 
 

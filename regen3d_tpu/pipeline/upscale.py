@@ -74,13 +74,15 @@ class FluxUpscaler:
     ``model_name="FLUX"`` → FLUX.1-dev + jasperai Controlnet-Upscaler).
 
     TPU-native structure of the same recipe: a rectified-flow transformer
-    over VAE image latents (patchified 2×2 tokens through the AdaLN-zero
-    DiT in models/dit.py — FLUX is flow matching, so the ShapeDiT sampler
-    IS the right integrator) with the control image's latent tokens
-    supplied via cross-attention (the ControlNet conditioning role). The
-    12B upstream won't be key-transcribed blindly; quality arrives by
-    distillation or a converted compact checkpoint. Weightless runs fall
-    back to Lanczos, keeping the Upscaler contract."""
+    over VAE image latents (patchified 2×2 tokens) with the control
+    image's latent tokens supplied as the conditioning stream. FLUX is
+    flow matching, so the ShapeDiT sampler IS the right integrator; the
+    transformer slot accepts either the compact ShapeDiT or the faithful
+    ``models/flux.py::FluxTransformer`` (diffusers FluxTransformer2DModel
+    layout; conversion family ``flux`` maps the real checkpoint 1:1 —
+    both share the (x, t, cond) call signature). The 12-B full config is
+    served tp-sharded over the device mesh. Weightless runs fall back to
+    Lanczos, keeping the Upscaler contract."""
 
     dit: object = None
     dit_params: object = None

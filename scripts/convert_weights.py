@@ -82,6 +82,14 @@ def full_init(family: str):
         m = SDAutoencoderKL(SDVAEConfig())
         return jax.eval_shape(
             lambda: m.init(key, jnp.zeros((1, 256, 256, 3))))
+    if family == "flux":
+        from regen3d_tpu.models.flux import FluxConfig, FluxTransformer
+        c = FluxConfig()
+        m = FluxTransformer(c)
+        return jax.eval_shape(
+            lambda: m.init(key, jnp.zeros((1, c.latent_tokens,
+                                           c.in_channels)),
+                           jnp.zeros((1,)), jnp.zeros((1, 512, c.cond_dim))))
     raise SystemExit(f"no full-size init wired for {family}")
 
 

@@ -5,6 +5,8 @@ init (the rule table's inverse), run it through the forward rules, and check
 the result covers our architecture leaf-for-leaf with matching shapes.
 strict=True also proves no upstream key goes unmapped (DROP rules count)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -121,3 +123,35 @@ def test_record_activations_cli(tmp_path):
         sys.argv = argv0
     data = np.load(out)
     assert "input_x" in data.files and "expected_y" in data.files
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "activations")
+_COMMITTED = sorted(
+    os.path.splitext(f)[0] for f in os.listdir(FIXTURE_DIR)
+    if f.endswith(".npz")) if os.path.isdir(FIXTURE_DIR) else []
+
+
+@pytest.mark.parametrize("family", _COMMITTED)
+def test_committed_activation_fixtures(family):
+    """Every committed tests/fixtures/activations/<family>.npz reproduces:
+    pins today's numerics (PRNGKey(0) tiny config) against architecture or
+    kernel drift. Re-record deliberately with
+    scripts/record_activations.py <family> ... --from-ours after an
+    INTENTIONAL numerics change."""
+    import runpy
+    import sys as _sys
+
+    mod = runpy.run_path("scripts/record_activations.py")
+    apply_fn, _ = mod["_build_ours"](family, None)
+    conversion.check_activation_fixture(
+        family, os.path.join(FIXTURE_DIR, f"{family}.npz"), apply_fn,
+        atol=2e-4)
+
+
+def test_fixture_coverage_spans_mappable_families():
+    """Every exact/provisional family ships a committed fixture."""
+    mappable = {name for name, fam in conversion.FAMILIES.items()
+                if fam.status in ("exact", "provisional")}
+    missing = mappable - set(_COMMITTED)
+    assert not missing, f"families without committed fixtures: {missing}"
