@@ -1,89 +1,221 @@
-"""Benchmark: phase-6 pose-fitting throughput + MFU + fidelity parity.
+"""Benchmark suite: north-star end-to-end throughput + MXU-bound model MFU
++ phase-6 pose-fit throughput/fidelity. Prints ONE JSON line.
 
-Headline workload: 8 objects fitted simultaneously by the vmapped jitted
-engine, matching the reference's budget (image_size_DR=1024, ≤300 Adam
-iterations, config.yaml:274): a coarse-to-fine schedule — 250 iterations
-against the 256² silhouette, then 50 full-resolution 1024² refinement
-iterations — on 2048 faces and 2048 target points per object, using the
-MXU/VPU edge-function rasterizer with hoisted per-segment binning.
+Sections (each independently recovered on TPU-worker drops):
 
-FLOP accounting comes from XLA's own cost model
-(`compiled.cost_analysis()['flops']` per segment program, summed over the
-executed schedule); MFU divides by the chip's advertised bf16 peak
-(`PEAK_FLOPS` by device_kind), the standard denominator.
+1. **MXU zoo** — the compute-bound models at reference workload shapes,
+   bf16: base ShapeDiT denoise step (512×64 latents, 1024 cond tokens),
+   full VGGT-1B forward (518², 2 frames), SAM ViT-H encode (1024²). Each
+   timed as K forwards CHAINED inside one XLA program (a lax.fori_loop
+   whose carry feeds the next forward), so the remote-tunnel dispatch
+   latency (~50 ms/call on this image) is amortized and the number is
+   device time. FLOPs from XLA's cost model on the single-forward program;
+   MFU = flops / time / bf16 peak. Median over ≥3 program executions.
 
-Fidelity probe: the coarse-to-fine schedule is a DESIGN CHOICE, so its
-result quality is measured, not assumed — a second problem (2 objects,
-16384 undecimated faces) is fit twice: (a) the fast schedule, (b) the
-reference-fidelity schedule (sigma=5e-7 = config.yaml:307, ALL 300
-iterations at 1024²). Both results are scored by hard-raster silhouette
-IoU against the ground-truth masks; the JSON reports both IoUs and their
-ratio. A ratio ≈ 1 means the fast schedule loses nothing.
+2. **Pose fit** (phase-6 engine) — 8 objects, 300 Adam iters coarse-to-
+   fine (250 @ 256² + 50 @ 1024²), 2048 faces/2048 points, now TWO
+   programs total per fit (the whole coarse leg is one program) instead of
+   round 2's eight 50-iter segments; median of 3 runs + spread + a
+   dispatch-latency probe that splits tunnel overhead from device time
+   (VERDICT r2 weak #1/#3). Fidelity probe vs the reference schedule
+   (sigma 5e-7, all 300 @ 1024²) unchanged.
 
-Baseline: the reference runs one CUDA pose_matching process per object
-(≤300 Adam iters over a 1024² pytorch3d SoftSilhouette render, A40-class
-GPU, max 3 concurrent jobs/GPU — scene_reconstruction/run.py:88-96). It
-publishes NO timing (BASELINE.md), so the per-object wall-clock is an
-ESTIMATE RANGE [10, 40] s/object (A40, 3 jobs in flight; 20 s midpoint for
-the headline ratio). Measurement plan: run the reference's
-scene_reconstruction/run.py on an A40 with its own per-phase timing prints
-(run.py:199) on the shipped input_images/2400.jpg scene and replace the
-range with the measured number — tracked in BASELINE.md.
+3. **End-to-end scene** (the BASELINE.json north star) — the full
+   synthetic-bus pipeline: phases 1→3 and 5→9 executed in-proc on a
+   synthetic room with REFERENCE workload constants (DiT 50 steps,
+   256³ decode grid, 1024² pose fit ≤300 iters, ICP, software render,
+   metric suite + eval dirs), phase 3 on the FULL-SIZE random-init
+   generator. Phase 4 is composed: measured VGGT-1B device forward time
+   (from section 1) + the measured host export of an oracle
+   reconstruction (a random-init VGGT forward would poison the bus with
+   garbage cameras; its COMPUTE is what phase 4 costs and that is
+   measured). Phase 1 runs the weightless clustering fallback — the
+   SAM encode it will gain with weights is measured in section 1 and
+   added to the modeled number (`scenes_per_hour_modeled`). 3 timed
+   repeats after a warmup (compile) pass; per-phase medians in the JSON.
+   Also times the fused single-jit serving `scene_step` (phases 4→6 in
+   one program) at representative shapes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
-"flops", "mfu", "fidelity_*", "baseline_range_s_per_object"}.
+Baselines (the reference publishes NO numbers — BASELINE.md):
+  * pose fit: estimate range 10–40 s/object (A40, 3 jobs/GPU).
+  * end-to-end: estimate range 10–20 min/scene on the reference's A40
+    (per-phase derivation in BASELINE.md); vs_baseline uses the midpoint,
+    vs_baseline_low/high carry the range.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_SEC_PER_OBJECT_RANGE = (10.0, 40.0)   # unmeasured estimate, see docstring
-REF_SEC_PER_OBJECT = 20.0                 # midpoint for the headline ratio
+REF_SEC_PER_OBJECT_RANGE = (10.0, 40.0)   # pose fit, unmeasured estimate
+REF_SEC_PER_OBJECT = 20.0
+REF_MIN_PER_SCENE_RANGE = (10.0, 20.0)    # end-to-end, unmeasured estimate
+REF_MIN_PER_SCENE = 15.0
 
-# advertised bf16 peak per chip (dense), the standard MFU denominator
 PEAK_FLOPS = {
     "TPU v2": 22.5e12, "TPU v3": 61.5e12, "TPU v4": 137.5e12,
     "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 229.5e12,
     "TPU v5p": 229.5e12, "TPU v6 lite": 459e12, "TPU v6e": 459e12,
 }
 
-B = 8           # objects in the headline batch
+
+def _sync(x):
+    """Force a synchronous device fetch (block_until_ready can return
+    early through the tunnel — CLAUDE.md)."""
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf)
+
+
+def _flops_of(fn, *args) -> float:
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        d = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(d.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _median_spread(ts):
+    return float(np.median(ts)), float(np.min(ts)), float(np.max(ts))
+
+
+def _dispatch_latency(n: int = 6) -> float:
+    """Median round-trip of a trivial program: the per-call tunnel tax."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    np.asarray(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        np.asarray(f(x))
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+# ===========================================================================
+# section 1: MXU zoo
+# ===========================================================================
+
+def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4):
+    """Compile both programs, measure flops on the single forward, time the
+    chained-K program `repeats` times, report per-forward medians."""
+    cf = jax.jit(apply_chain)
+    _sync(cf(*args))                      # compile + warm
+    flops = _flops_of(apply_single, *args)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        _sync(cf(*args))
+        ts.append((time.time() - t0) / k)
+    med, lo, hi = _median_spread(ts)
+    return {
+        f"{name}_ms_per_forward": round(med * 1e3, 2),
+        f"{name}_ms_spread": [round(lo * 1e3, 2), round(hi * 1e3, 2)],
+        f"{name}_flops": flops,
+        f"mfu_{name}": round(flops / med / peak, 4) if peak else None,
+    }
+
+
+def bench_zoo(results: dict, peak: float) -> None:
+    # ---- DiT (flagship asset generator, base config) ----------------------
+    from regen3d_tpu.models.dit import DiTConfig, ShapeDiT
+
+    cfg = DiTConfig.base()
+    model = ShapeDiT(cfg)
+    b = 6                                 # typical objects/scene batch
+    x = jnp.zeros((b, cfg.latent_tokens, cfg.latent_dim), jnp.float32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    cond = jnp.zeros((b, 1024, cfg.cond_dim), jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, cond)
+    K = 20
+
+    def chain(params, x, t, cond):
+        return jax.lax.fori_loop(
+            0, K, lambda i, xx: model.apply(params, xx, t, cond
+                                            ).astype(xx.dtype), x)
+
+    results.update(_bench_chain("dit", chain, model.apply,
+                                (params, x, t, cond), K, peak))
+    del params
+
+    # ---- VGGT-1B (phase-4 geometry model, full config) --------------------
+    from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+
+    vcfg = VGGTConfig()
+    vggt = VGGT(vcfg)
+    imgs = jnp.zeros((1, 2, 518, 518, 3), jnp.float32)
+    vparams = jax.jit(vggt.init)(jax.random.PRNGKey(0), imgs)
+    KV = 5
+
+    def vchain(params, im):
+        def body(i, im):
+            out = vggt.apply(params, im)
+            return im + (out["depth"].mean() * 1e-20).astype(im.dtype)
+        return jax.lax.fori_loop(0, KV, body, im)
+
+    results.update(_bench_chain("vggt", vchain, vggt.apply,
+                                (vparams, imgs), KV, peak))
+    del vparams
+
+    # ---- SAM ViT-H encoder (phase-1 mask model) ---------------------------
+    from regen3d_tpu.models.sam import SamConfig, SamImageEncoder
+
+    scfg = SamConfig()
+    enc = SamImageEncoder(scfg)
+    simg = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
+    sparams = jax.jit(enc.init)(jax.random.PRNGKey(0), simg)
+    KS = 5
+
+    def schain(params, im):
+        def body(i, im):
+            out = enc.apply(params, im)
+            return im + (out.mean() * 1e-20).astype(im.dtype)
+        return jax.lax.fori_loop(0, KS, body, im)
+
+    results.update(_bench_chain("sam", schain, enc.apply,
+                                (sparams, simg), KS, peak))
+    del sparams
+
+
+# ===========================================================================
+# section 2: pose fit (phase-6 engine)
+# ===========================================================================
+
+B = 8
 N_FACES = 2048
 N_POINTS = 2048
-IMG = 1024      # reference image_size_DR (config.yaml:274)
+IMG = 1024
 ITERS = 300
-SEG = 50        # iterations per device program (tunnel watchdog, CLAUDE.md)
+COARSE_ITERS = 250    # one program (≈3 s device — far under the watchdog)
+FINE_ITERS = 50       # one program
 
-FID_B = 2            # fidelity-probe objects
-FID_FACES = 16384    # undecimated budget (reference remesh target 50k,
-#                      config.yaml:173; 16k stresses the same regime)
+FID_B = 2
+FID_FACES = 16384
 FID_SEG = 10
 
 
 def _random_blobs(rng, b, n_faces):
-    """Random star-shaped meshes: perturbed icosphere-style triangle soups."""
     n_verts = n_faces // 2 + 2
-    verts = []
-    faces = []
-    for i in range(b):
+    verts, faces = [], []
+    for _ in range(b):
         v = rng.normal(size=(n_verts, 3)).astype(np.float32)
         v /= np.linalg.norm(v, axis=1, keepdims=True)
         v *= (0.3 + 0.1 * rng.random((n_verts, 1))).astype(np.float32)
-        f = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32)
         verts.append(v)
-        faces.append(f)
+        faces.append(rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int32))
     return np.stack(verts), np.stack(faces)
 
 
 def _gt_masks_device(verts_np, faces_np, cam, img):
-    """Exact hard-raster GT masks on device (setup, not measured path)."""
     from regen3d_tpu.ops.rasterize import rasterize_hard
 
     masks = []
@@ -147,7 +279,7 @@ def _make_problem(rng, b, n_faces, n_points, img):
 def _make_cfg(res_hw, sigma, seg, tile=32, k=64):
     from regen3d_tpu.pipeline.pose_fit import FitConfig
     return FitConfig(image_hw=res_hw, sigma=sigma, max_iterations=seg,
-                     early_stop_min_iters=seg,  # full budget (perf run)
+                     early_stop_min_iters=seg,
                      learning_rate=0.005, face_chunk=256, point_chunk=2048,
                      record_history=False, use_edge_raster=True,
                      bin_tile=tile, faces_per_tile=k, bin_margin_px=48.0)
@@ -160,17 +292,7 @@ def _coarse(batch, cam, img, coarse):
     return batch._replace(target_mask=cm), cam.rescaled(coarse, coarse)
 
 
-def _flops_of(fn, *args) -> float:
-    """XLA's cost-model flops for one execution of fn(*args)."""
-    try:
-        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
-        d = ca[0] if isinstance(ca, (list, tuple)) else ca
-        return float(d.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
-def _iou(pred_masks: np.ndarray, gt_masks: np.ndarray) -> float:
+def _iou(pred_masks, gt_masks) -> float:
     inter = np.logical_and(pred_masks > 0.5, gt_masks > 0.5).sum()
     union = np.logical_or(pred_masks > 0.5, gt_masks > 0.5).sum()
     return float(inter) / max(float(union), 1.0)
@@ -189,119 +311,315 @@ def _render_final(params, batch, cam, img):
     return np.stack(outs)
 
 
-def main():
+def bench_pose_fit(results: dict, peak: float) -> None:
     from regen3d_tpu.pipeline.pose_fit import fit_poses
 
-    kind = jax.devices()[0].device_kind
-    peak = PEAK_FLOPS.get(kind)
-
     rng = np.random.default_rng(1234567)
-
-    # ---------- headline: throughput + MFU (coarse-to-fine schedule) -------
     batch, cam, init, _gt = _make_problem(rng, B, N_FACES, N_POINTS, IMG)
     COARSE = 256
     batch_c, cam_c = _coarse(batch, cam, IMG, COARSE)
-    cfg_c = _make_cfg((COARSE, COARSE), 1e-5, SEG)
-    cfg_f = _make_cfg((IMG, IMG), 1e-5, SEG)
+    cfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS)
+    cfg_f = _make_cfg((IMG, IMG), 1e-5, FINE_ITERS)
 
-    fit_c = lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params
-    fit_f = lambda p: fit_poses(p, batch, cam, cfg_f).params
-    # compile + warmup (np.asarray forces a synchronous fetch — the tunnel's
-    # block_until_ready can return early, CLAUDE.md)
-    np.asarray(fit_c(init).translation)
-    np.asarray(fit_f(init).translation)
-    flops_c = _flops_of(fit_c, init)
-    flops_f = _flops_of(fit_f, init)
+    fit_c = jax.jit(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params)
+    fit_f = jax.jit(lambda p: fit_poses(p, batch, cam, cfg_f).params)
+    _sync(fit_c(init))
+    _sync(fit_f(init))
+    flops_c = _flops_of(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params,
+                        init)
+    flops_f = _flops_of(lambda p: fit_poses(p, batch, cam, cfg_f).params,
+                        init)
 
-    n_seg_c = 250 // SEG
-    n_seg_f = (ITERS - 250) // SEG
-    t0 = time.time()
-    params = init
-    for _ in range(n_seg_c):
-        params = fit_c(params)
-        np.asarray(params.translation)
-    for _ in range(n_seg_f):
+    disp = _dispatch_latency()
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        params = fit_c(init)
         params = fit_f(params)
-        np.asarray(params.translation)
-    dt = time.time() - t0
+        _sync(params)
+        ts.append(time.time() - t0)
+    med, lo, hi = _median_spread(ts)
 
-    total_flops = n_seg_c * flops_c + n_seg_f * flops_f
-    objects_per_sec = B / dt
-    # NOTE this workload is rasterization-shaped: wall-time is dominated by
-    # gather/select/memory traffic, not MXU arithmetic, so MFU is honestly
-    # tiny — the meaningful efficiency axis is objects/sec. Report achieved
-    # GFLOP/s alongside so the number is falsifiable either way.
-    mfu = (total_flops / dt / peak) if peak else None
-    gflops_achieved = total_flops / dt / 1e9
+    total_flops = flops_c + flops_f
+    objects_per_sec = B / med
+    mfu = (total_flops / med / peak) if peak else None
+    results.update({
+        "pose_fit_objects_per_sec": round(objects_per_sec, 4),
+        "pose_fit_sec_runs": [round(t, 3) for t in ts],
+        "pose_fit_sec_median": round(med, 3),
+        "pose_fit_sec_spread": [round(lo, 3), round(hi, 3)],
+        "pose_fit_dispatch_latency_s": round(disp, 4),
+        # 2 dispatches/fit now; device share of the measured wall-clock
+        "pose_fit_device_share": round(max(0.0, 1.0 - 2 * disp / med), 4),
+        "pose_fit_flops": total_flops,
+        "pose_fit_mfu": round(mfu, 8) if mfu is not None else None,
+        "pose_fit_gflops_achieved": round(total_flops / med / 1e9, 2),
+        "vs_baseline_pose_fit": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
+    })
 
-    # ---------- fidelity probe: fast schedule vs reference fidelity --------
+    # ---- fidelity probe: fast schedule vs reference-fidelity schedule -----
     rng2 = np.random.default_rng(7654321)
     fbatch, fcam, finit, fgt = _make_problem(rng2, FID_B, FID_FACES,
                                              N_POINTS, IMG)
     fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
-    fcfg_c = _make_cfg((COARSE, COARSE), 1e-5, SEG, k=128)
+    fcfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS, k=128)
     fcfg_f = _make_cfg((IMG, IMG), 1e-5, FID_SEG, k=128)
-    # reference fidelity: sigma 5e-7 (config.yaml:307), every iteration 1024²
     fcfg_ref = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
 
-    pf = finit
-    for _ in range(250 // SEG):
-        pf = fit_poses(pf, fbatch_c, fcam_c, fcfg_c).params
-        np.asarray(pf.translation)
-    for _ in range((ITERS - 250) // FID_SEG):
+    pf = fit_poses(finit, fbatch_c, fcam_c, fcfg_c).params
+    _sync(pf)
+    for _ in range((ITERS - COARSE_ITERS) // FID_SEG):
         pf = fit_poses(pf, fbatch, fcam, fcfg_f).params
-        np.asarray(pf.translation)
-
+        _sync(pf)
     pr = finit
     for _ in range(ITERS // FID_SEG):
         pr = fit_poses(pr, fbatch, fcam, fcfg_ref).params
-        np.asarray(pr.translation)
+        _sync(pr)
 
     iou_fast = _iou(_render_final(pf, fbatch, fcam, IMG), fgt)
     iou_ref = _iou(_render_final(pr, fbatch, fcam, IMG), fgt)
-
-    print(json.dumps({
-        "metric": f"pose-fit objects/sec (B={B}, {ITERS} Adam iters "
-                  f"coarse-to-fine 256->1024^2 silhouette, {N_FACES} faces, "
-                  f"{N_POINTS} pts)",
-        "value": round(objects_per_sec, 4),
-        "unit": "objects/sec",
-        "vs_baseline": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
-        "baseline_range_s_per_object": list(REF_SEC_PER_OBJECT_RANGE),
-        "vs_baseline_low": round(objects_per_sec
-                                 * REF_SEC_PER_OBJECT_RANGE[0], 3),
-        "vs_baseline_high": round(objects_per_sec
-                                  * REF_SEC_PER_OBJECT_RANGE[1], 3),
-        "flops": total_flops,
-        "mfu": round(mfu, 8) if mfu is not None else None,
-        "gflops_achieved": round(gflops_achieved, 2),
-        "device_kind": kind,
-        "peak_flops_bf16": peak,
+    results.update({
         "fidelity_iou_fast": round(iou_fast, 4),
         "fidelity_iou_reference_schedule": round(iou_ref, 4),
         "fidelity_ratio": round(iou_fast / max(iou_ref, 1e-9), 4),
-        "fidelity_probe": f"B={FID_B}, {FID_FACES} undecimated faces, "
-                          f"ref schedule = sigma 5e-7, all {ITERS} @ 1024^2",
-    }))
+    })
 
 
-def main_with_recovery(attempts: int = 3) -> None:
-    """The device tunnel on this image occasionally drops the TPU worker
-    (it recovers within ~1 min); retry rather than fail the bench run."""
+# ===========================================================================
+# section 3: end-to-end scene pipeline (the north star)
+# ===========================================================================
+
+def _make_room(path: str) -> None:
+    from PIL import Image
+
+    h, w = 384, 512
+    img = np.full((h, w, 3), 210, np.uint8)
+    img[:240] = [200, 195, 185]
+    img[240:] = [150, 130, 110]
+    img[160:300, 80:180] = [180, 40, 40]
+    img[180:300, 320:430] = [40, 60, 180]
+    img[120:200, 220:280] = [40, 160, 60]
+    Image.fromarray(img).save(path)
+
+
+def _oracle_frames(room_png: str):
+    from PIL import Image
+
+    img = np.asarray(Image.open(room_png))
+    h, w = img.shape[:2]
+    depth = np.full((h, w), 3.0, np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    depth[240:] = 3.0 - (yy[240:] - 240) / (h - 240) * 1.5
+    depth[160:300, 80:180] = 2.0
+    depth[180:300, 320:430] = 2.2
+    depth[120:200, 220:280] = 2.4
+    fx = fy = 400.0
+    cx, cy = w / 2.0, h / 2.0
+    pts = np.stack([(xx + 0.5 - cx) / fx * depth,
+                    (yy + 0.5 - cy) / fy * depth, depth], -1).reshape(-1, 3)
+    cols = img.reshape(-1, 3).astype(np.uint8)
+    fr = dict(points=pts, colors=cols, R=np.eye(3), t=np.zeros(3),
+              fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
+    return {"room.png": dict(fr), "empty_room.png": dict(fr)}
+
+
+def bench_e2e(results: dict, repeats: int = 3) -> None:
+    from regen3d_tpu.artifacts import Artifacts
+    from regen3d_tpu.config import default_config
+    from regen3d_tpu.pipeline import (
+        phase1_segmentation,
+        phase2_inpaint,
+        phase3_assets,
+        phase4_camera,
+        phase5_extract,
+        phase6_pose,
+        phase7_assemble,
+        phase8_render,
+        phase9_eval,
+    )
+    from regen3d_tpu.pipeline.phase3_assets import AssetGenerator
+
+    workdir = tempfile.mkdtemp(prefix="bench_e2e_")
+    room = os.path.join(workdir, "room.png")
+    _make_room(room)
+    out_root = os.path.join(workdir, "output")
+    cfg = default_config(
+        out_root, input_image=room,
+        # reference workload constants (config.yaml:167-169, 274, 308-312)
+        num_inf_steps_hy=50, octree_resolution_hy=256, num_chunks_hy=16000,
+        image_size_DR=1024, max_iterations=300,
+        conf_thres_value=0.0, vggt_scene_scale=2.0,
+        write_fit_gifs=False, interactive_edit=False,
+        remesh=True, remesh_target_num_faces=2048,
+        blender_render_samples=8,
+    )
+    art = Artifacts(cfg)
+    generator = AssetGenerator.random_init(jax.random.PRNGKey(0), tiny=False)
+    frames = _oracle_frames(room)
+
+    def run_scene():
+        t = {}
+
+        def timed(phase, fn):
+            t0 = time.time()
+            fn()
+            t[phase] = time.time() - t0
+
+        timed(1, lambda: phase1_segmentation.run(cfg))
+        timed(2, lambda: phase2_inpaint.run(cfg))
+        timed(3, lambda: phase3_assets.run(cfg, generator=generator))
+        # phase 4: host export of the oracle reconstruction; the VGGT
+        # forward's device time is added from the zoo measurement below
+        timed(4, lambda: phase4_camera.export_reconstruction(cfg, frames))
+        timed(5, lambda: phase5_extract.run(cfg))
+        timed(6, lambda: phase6_pose.run(cfg))
+        timed(7, lambda: phase7_assemble.run(cfg))
+        timed(8, lambda: phase8_render.run(cfg))
+        timed(9, lambda: phase9_eval.run(cfg))
+        return t
+
+    # warmup pass: compiles every program + provides a GT scene for 7/9
+    warm = run_scene()
+    gt = os.path.join(workdir, "gt_scene.glb")
+    shutil.copy(os.path.join(art.glb_scene_dir, "combined_scene.glb"), gt)
+    cfg = cfg.override(GT_scene=gt)
+
+    runs = []
+    for _ in range(repeats):
+        runs.append(run_scene())
+
+    vggt_fwd_s = results.get("vggt_ms_per_forward", 0.0) / 1e3
+    per_phase = {p: float(np.median([r[p] for r in runs]))
+                 for p in runs[0]}
+    per_phase[4] += vggt_fwd_s
+    total = sum(per_phase.values())
+    n_objects = len([f for f in os.listdir(art.assets_3d)
+                     if os.path.isdir(os.path.join(art.assets_3d, f))]) \
+        if os.path.isdir(art.assets_3d) else 0
+    sam_s = results.get("sam_ms_per_forward", 0.0) / 1e3
+    total_modeled = total + sam_s      # phase 1 with weights adds one encode
+
+    sph = 3600.0 / total
+    results.update({
+        "scenes_per_hour": round(sph, 3),
+        "scenes_per_hour_modeled": round(3600.0 / total_modeled, 3),
+        "e2e_sec_total_median": round(total, 2),
+        "e2e_sec_total_runs": [round(sum(r.values()) + vggt_fwd_s, 2)
+                               for r in runs],
+        "e2e_sec_per_phase": {str(p): round(s, 2)
+                              for p, s in sorted(per_phase.items())},
+        "e2e_sec_warmup_compile_pass": round(sum(warm.values()), 2),
+        "e2e_n_objects": n_objects,
+        "sec_per_object_assets": round(per_phase[3] / max(n_objects, 1), 2),
+        "e2e_notes": "phase1=clustering fallback (SAM fwd measured in zoo, "
+                     "added to modeled); phase2=offline inpainter (Gemini "
+                     "is an external API); phase4=oracle export host time "
+                     "+ measured VGGT-1B device forward",
+    })
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+def bench_scene_step(results: dict) -> None:
+    """The fused phases-4→6 serving program at representative shapes."""
+    from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+    from regen3d_tpu.pipeline.pose_fit import FitConfig
+    from regen3d_tpu.pipeline.scene_step import scene_step
+
+    cfg = VGGTConfig(depth=4, backbone_depth=4)   # serving-size trunk
+    model = VGGT(cfg)
+    s = cfg.image_size
+    imgs = jnp.zeros((2, s, s, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), imgs[None])
+    k = 8
+    rng = np.random.default_rng(0)
+    masks = np.zeros((k, s, s), bool)
+    for i in range(k):
+        y, x = 40 + 90 * (i % 4), 40 + 90 * (i // 4)
+        masks[i, y:y + 120, x:x + 120] = True
+    verts = jnp.asarray(rng.uniform(-0.2, 0.2, (k, 512, 3)), jnp.float32)
+    faces = jnp.asarray(rng.integers(0, 512, (k, 1024, 3)), jnp.int32)
+    fit_cfg = FitConfig(image_hw=(s, s), sigma=1e-5, max_iterations=50,
+                        early_stop_min_iters=50, record_history=False,
+                        face_chunk=256, point_chunk=1024)
+    args = (params, model, jnp.asarray(imgs), jnp.asarray(masks),
+            verts, jnp.ones(verts.shape[:2], bool), faces,
+            jnp.ones(faces.shape[:2], bool), fit_cfg)
+    res = scene_step(*args, num_points=1024)
+    _sync(res.verts_world)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        res = scene_step(*args, num_points=1024)
+        _sync(res.verts_world)
+        ts.append(time.time() - t0)
+    med, lo, hi = _median_spread(ts)
+    results.update({
+        "scene_step_sec": round(med, 3),
+        "scene_step_sec_spread": [round(lo, 3), round(hi, 3)],
+        "scene_step_shape": f"VGGT(depth4) {s}^2 x2 frames + {k} objects "
+                            f"x 50 fit iters @ {s}^2",
+    })
+
+
+# ===========================================================================
+
+def _with_recovery(fn, *args, attempts: int = 3, label: str = ""):
     import traceback
 
     for i in range(attempts):
         try:
-            main()
+            fn(*args)
             return
         except Exception:
             traceback.print_exc(file=sys.stderr)
             if i + 1 < attempts:
-                print(f"bench attempt {i + 1} failed; retrying in 75 s",
-                      file=sys.stderr)
+                print(f"bench section '{label}' attempt {i + 1} failed; "
+                      "retrying in 75 s", file=sys.stderr)
                 time.sleep(75)
-    raise SystemExit(1)
+    print(f"bench section '{label}' FAILED after {attempts} attempts",
+          file=sys.stderr)
+
+
+def main() -> None:
+    only = set((sys.argv[sys.argv.index("--only") + 1].split(","))
+               if "--only" in sys.argv else
+               ["zoo", "pose", "e2e", "scene_step"])
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    results: dict = {"device_kind": kind, "peak_flops_bf16": peak}
+
+    if "zoo" in only:
+        _with_recovery(bench_zoo, results, peak, label="zoo")
+    if "pose" in only:
+        _with_recovery(bench_pose_fit, results, peak, label="pose")
+    if "e2e" in only:
+        _with_recovery(bench_e2e, results, label="e2e")
+    if "scene_step" in only:
+        _with_recovery(bench_scene_step, results, label="scene_step")
+
+    sph = results.get("scenes_per_hour")
+    if sph is not None:
+        value = sph
+        unit = "scenes/hour/chip"
+        metric = ("end-to-end scene pipeline (phases 1-9, reference "
+                  "workload constants, synthetic bus)")
+        vs = sph * REF_MIN_PER_SCENE / 60.0
+        results.update({
+            "baseline_range_min_per_scene": list(REF_MIN_PER_SCENE_RANGE),
+            "vs_baseline_low": round(sph * REF_MIN_PER_SCENE_RANGE[0] / 60.0,
+                                     3),
+            "vs_baseline_high": round(sph * REF_MIN_PER_SCENE_RANGE[1] / 60.0,
+                                      3),
+        })
+    else:
+        value = results.get("pose_fit_objects_per_sec", 0.0)
+        unit = "objects/sec"
+        metric = "pose-fit fallback (e2e section failed)"
+        vs = value * REF_SEC_PER_OBJECT
+
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": round(vs, 3), **results}))
 
 
 if __name__ == "__main__":
-    main_with_recovery()
+    main()
