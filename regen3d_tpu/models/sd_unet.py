@@ -59,9 +59,11 @@ class SDUNetConfig:
 
     @classmethod
     def multiview(cls, num_views: int = 6) -> "SDUNetConfig":
-        """Camera-conditioned multiview texgen variant: latent + reference
-        image latent in, per-view camera index as class embedding."""
-        return cls(in_channels=8, out_channels=4,
+        """Geometry-conditioned multiview texgen variant: [noisy latent ‖
+        reference-image latent ‖ per-view mesh normal-map latent] in
+        (4+4+4 channels), per-view camera index as class embedding, camera
+        pose as an extra cross-attention token (pipeline/texgen.py)."""
+        return cls(in_channels=12, out_channels=4,
                    block_channels=(192, 384, 768, 768),
                    cross_attn_dim=768, class_embeddings=num_views)
 

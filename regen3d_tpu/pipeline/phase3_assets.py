@@ -297,7 +297,7 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
                 resolution=int(cfg.get("texgen_resolution", 64)),
                 steps=int(cfg.get("texgen_steps", 4)))
             n_embed = (2 if hy21_pbr else 1) * tcfg.num_views
-            ucfg = SDUNetConfig.tiny(in_channels=8,
+            ucfg = SDUNetConfig.tiny(in_channels=12,
                                      class_embeddings=n_embed)
             vcfg = SDVAEConfig.tiny()
             tp, vp, ucfg, vcfg = tg.init_texgen(tcfg, unet_cfg=ucfg,

@@ -59,7 +59,7 @@ class TestPBRTexgen:
         from regen3d_tpu.pipeline import texgen as tg
 
         tcfg = tg.TexGenConfig.tiny()
-        ucfg = SDUNetConfig.tiny(in_channels=8,
+        ucfg = SDUNetConfig.tiny(in_channels=12,
                                  class_embeddings=2 * tcfg.num_views)
         vcfg = SDVAEConfig.tiny()
         tp, vp, ucfg, vcfg = tg.init_texgen(tcfg, unet_cfg=ucfg,
@@ -81,7 +81,7 @@ class TestPBRTexgen:
         from regen3d_tpu.pipeline import texgen as tg
 
         tcfg = tg.TexGenConfig.tiny()
-        ucfg = SDUNetConfig.tiny(in_channels=8,
+        ucfg = SDUNetConfig.tiny(in_channels=12,
                                  class_embeddings=2 * tcfg.num_views)
         vcfg = SDVAEConfig.tiny()
         tp, vp, ucfg, vcfg = tg.init_texgen(tcfg, unet_cfg=ucfg,
