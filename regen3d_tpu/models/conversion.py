@@ -1508,6 +1508,56 @@ def _no_invert(path, arr):
 
 
 # ---------------------------------------------------------------------------
+# midi — the ShapeDiT with MIDI-style cross-instance attention blocks
+# (run_midi.py:36-43): the dit table plus the inst_norm/inst_attn/inst_gate
+# leaves, so a multi-instance checkpoint maps onto the baseline adapter
+# ---------------------------------------------------------------------------
+
+def midi_rules() -> list:
+    lin = lambda path: lambda k, m: path(m) + (
+        ("kernel" if m.group("wb") == "weight" else "bias"),)
+    r = dit_rules()
+    P = r"inst_blocks\.(?P<i>\d+)"
+    r.append((rf"{P}\.attn\.(?P<p>[qkv]|proj)\.(?P<wb>weight|bias)",
+              lin(lambda m: (f"inst_attn{m.group('i')}", m.group("p"))),
+              T_LIN))
+    r.append((rf"{P}\.attn\.(?P<p>[qk])_norm\.weight",
+              lambda k, m: (f"inst_attn{m.group('i')}",
+                            f"{m.group('p')}_norm", "scale"), None))
+    r.append((rf"{P}\.gate", lambda k, m: (f"inst_gate{m.group('i')}",),
+              None))
+    return r
+
+
+def _midi_tiny_init():
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from regen3d_tpu.models.dit import DiTConfig, ShapeDiT
+    c = _dc.replace(DiTConfig.tiny(), cross_instance=True)
+    m = ShapeDiT(c)
+    return m.init(jax.random.PRNGKey(0),
+                  jnp.zeros((2, c.latent_tokens, c.latent_dim)),
+                  jnp.zeros((2,)), jnp.zeros((2, 4, c.cond_dim)))
+
+
+def _midi_invert(path, arr):
+    a = np.asarray(arr)
+    wb = {"kernel": "weight", "scale": "weight", "bias": "bias"}
+    if path[0].startswith("inst_attn"):
+        i = path[0][9:]
+        if path[1].endswith("_norm"):
+            return (f"inst_blocks.{i}.attn.{path[1]}.weight", a)
+        return (f"inst_blocks.{i}.attn.{path[1]}.{wb[path[2]]}",
+                j2t_linear(a) if path[2] == "kernel" else a)
+    if path[0].startswith("inst_gate"):
+        return (f"inst_blocks.{path[0][9:]}.gate", a)
+    return _dit_invert(path, arr)
+
+
+# ---------------------------------------------------------------------------
 # flux — FLUX.1 MMDiT (diffusers FluxTransformer2DModel layout), the
 # reference's FLUX upscaler backbone (src/segmentation/upscaler.py:26-39)
 # ---------------------------------------------------------------------------
@@ -1697,6 +1747,9 @@ FAMILIES: Dict[str, Family] = {
     # and selftested, numerics await a real checkpoint.
     "flux": Family("flux", "provisional", flux_rules, _flux_tiny_init,
                    _flux_invert),
+    # ShapeDiT + MIDI cross-instance attention (baseline_midi adapter)
+    "midi": Family("midi", "provisional", midi_rules, _midi_tiny_init,
+                   _midi_invert),
 }
 
 

@@ -39,6 +39,13 @@ class DiTConfig:
     num_heads: int = 16
     cond_dim: int = 768           # image-encoder token width
     mlp_ratio: float = 4.0
+    # MIDI-style multi-instance denoising (run_midi.py:36-43): when on,
+    # every DiT block is followed by a zero-init gated attention over the
+    # CONCATENATED tokens of all instances in the batch (batch = instances
+    # of one scene), so instances denoise jointly. Zero gates make a plain
+    # single-instance checkpoint load and behave identically until the
+    # instance-attention weights are trained/converted.
+    cross_instance: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @classmethod
@@ -79,9 +86,23 @@ class ShapeDiT(nn.Module):
         cond_tok = nn.Dense(c.width, dtype=c.dtype, name="cond_in")(cond)
         cond_tok = nn.LayerNorm(dtype=c.dtype, name="cond_norm")(cond_tok)
 
+        b = h.shape[0]
         for i in range(c.depth):
             h = DiTBlock(c.num_heads, c.mlp_ratio, use_cross=True,
                          dtype=c.dtype, name=f"block{i}")(h, t_emb, cond_tok)
+            if c.cross_instance:
+                # instance axis = batch axis: all instances' tokens attend
+                # jointly (the MIDI multi-instance attention mechanism)
+                g = nn.LayerNorm(use_scale=False, use_bias=False,
+                                 dtype=c.dtype, name=f"inst_norm{i}")(h)
+                g = g.reshape(1, b * c.latent_tokens, c.width)
+                from regen3d_tpu.models.layers import Attention
+                g = Attention(c.num_heads, dtype=c.dtype, qk_norm=True,
+                              name=f"inst_attn{i}")(g)
+                g = g.reshape(b, c.latent_tokens, c.width)
+                gate = self.param(f"inst_gate{i}", nn.initializers.zeros,
+                                  (c.width,), jnp.float32)
+                h = h + gate.astype(h.dtype) * g
 
         h = nn.LayerNorm(use_scale=False, use_bias=False, dtype=c.dtype,
                          name="norm_out")(h)

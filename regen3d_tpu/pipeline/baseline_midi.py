@@ -8,14 +8,17 @@ the MIDI multi-instance diffusion producing one scene GLB at
 (scene_optim.py:180-183) before optimization and evaluation.
 
 TPU-native adapter: segmentation reuses the phase-1 detector+SAM engine;
-instance shape generation reuses the batched flow-matching DiT (ONE jitted
-program over the instance axis — MIDI's cross-instance attention
-conditioning is approximated by shared-image conditioning until a
-converted MIDI checkpoint lands, which this adapter's layout slots in);
-scene layout comes from the segmentation geometry (mask centroid rays +
-bbox-scaled depth placement, seg_mode/box parity with run_midi's
-``seg_mode`` knob). The output contract is exact: combined_scene_midi.glb
-+ a segmentation visualization under ``midi_output``.
+instance shape generation runs the batched flow-matching DiT with
+``cross_instance=True`` — every DiT block is followed by a zero-init
+gated attention over the CONCATENATED tokens of all instances, so the
+scene's instances denoise JOINTLY (the defining MIDI mechanism,
+run_midi.py:36-43; conversion family ``midi`` maps a trained checkpoint
+onto these blocks). Each instance is additionally conditioned on its
+scene-layout box via a parameter-free fourier box token. Scene layout
+comes from the segmentation geometry (mask centroid rays + bbox-scaled
+depth placement, seg_mode/box parity with run_midi's ``seg_mode`` knob).
+The output contract is exact: combined_scene_midi.glb + a segmentation
+visualization under ``midi_output``.
 """
 
 from __future__ import annotations
@@ -111,8 +114,12 @@ def run(cfg: Config, sam=None, sam_params=None,
 
     if generator is None:
         log.warning("midi: no checkpoint — random-init generator")
+        # cross_instance=True: every DiT block is followed by attention
+        # over the concatenated tokens of ALL instances — the defining
+        # MIDI mechanism (run_midi.py:36-43), not an approximation
         generator = AssetGenerator.random_init(
-            jax.random.PRNGKey(int(cfg.get("seed", 1234567))), tiny=True)
+            jax.random.PRNGKey(int(cfg.get("seed", 1234567))), tiny=True,
+            cross_instance=True)
 
     # joint instance generation: all instance crops through ONE batched
     # jitted diffusion program (the MIDI multi-instance denoising role)
@@ -132,9 +139,24 @@ def run(cfg: Config, sam=None, sam_params=None,
     res = int(cfg.get("octree_resolution_hy", 256))
     if generator.dit_cfg.width < 512:
         res = min(res, 128)
+    # per-instance box conditioning token: fourier features of the
+    # normalized box (cx, cy, bw, bh) zero-padded to cond_dim — a
+    # parameter-free scene-layout signal alongside the crop image tokens
+    # (MIDI conditions each instance on its mask/box within the scene)
+    from regen3d_tpu.models.layers import fourier_features
+    boxes_n = np.asarray(
+        [[(d.box.xmin + d.box.xmax) / (2.0 * w),
+          (d.box.ymin + d.box.ymax) / (2.0 * h),
+          (d.box.xmax - d.box.xmin) / w,
+          (d.box.ymax - d.box.ymin) / h] for d in dets], np.float32)
+    ff = np.asarray(fourier_features(jnp.asarray(boxes_n), 8))
+    cd = generator.dit_cfg.cond_dim
+    box_tok = np.zeros((len(dets), 1, cd), np.float32)
+    box_tok[:, 0, :min(ff.shape[-1], cd)] = ff[:, :cd]
     vols = generator.generate_sdf_batch(
         jax.random.PRNGKey(int(cfg.get("seed", 1234567))),
-        np.stack(crops), steps, guidance, res, 2048)
+        np.stack(crops), steps, guidance, res, 2048,
+        extra_cond_tokens=box_tok)
 
     # layout from segmentation geometry: centroid ray at bbox-scaled depth
     focal = max(h, w) * 1.0

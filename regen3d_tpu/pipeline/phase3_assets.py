@@ -79,8 +79,11 @@ class AssetGenerator:
 
     @classmethod
     def random_init(cls, key: jax.Array, tiny: bool = False,
-                    image_size: int = 512) -> "AssetGenerator":
+                    image_size: int = 512,
+                    cross_instance: bool = False) -> "AssetGenerator":
         dit_cfg = DiTConfig.tiny() if tiny else DiTConfig.base()
+        if cross_instance:
+            dit_cfg = dataclasses.replace(dit_cfg, cross_instance=True)
         vae_cfg = ShapeVAEConfig.tiny() if tiny else ShapeVAEConfig(
             latent_tokens=dit_cfg.latent_tokens, latent_dim=dit_cfg.latent_dim)
         if tiny:
@@ -116,15 +119,23 @@ class AssetGenerator:
 
     def generate_sdf_batch(self, key: jax.Array, images: np.ndarray,
                            num_steps: int, guidance: float, resolution: int,
-                           chunk: int) -> np.ndarray:
+                           chunk: int,
+                           extra_cond_tokens: Optional[np.ndarray] = None,
+                           ) -> np.ndarray:
         """Batched generation: (B, H, W, 4) → (B, R, R, R) SDF volumes.
 
         One jitted pipeline (cond encoder → flow sampler → grid decode) for
         all objects — the device-batch replacement for the reference's
         process-per-image fan-out (2d_to_3d_models/run.py:108-194).
-        """
+        ``extra_cond_tokens`` (B, T, cond_dim) are appended to the image
+        condition sequence (e.g. the MIDI adapter's per-instance box
+        tokens)."""
         imgs = jnp.asarray(images, jnp.float32)
         cond_tok = self.cond.apply(self.params["cond"], imgs)
+        if extra_cond_tokens is not None:
+            cond_tok = jnp.concatenate(
+                [cond_tok, jnp.asarray(extra_cond_tokens, cond_tok.dtype)],
+                axis=1)
         lat = dit_sample(self.dit, self.params["dit"], key, cond_tok,
                          num_steps=num_steps, guidance_scale=guidance)
         if resolution % 4 == 0 and resolution >= 128:

@@ -120,9 +120,13 @@ def _build_ours(family: str, checkpoint: str | None):
             out = model.apply(params, jnp.asarray(img1), jnp.asarray(img2))
             return {"pts1": out["pts3d1"], "pts2": out["pts3d2"],
                     "conf1": out["conf1"], "conf2": out["conf2"]}
-    elif family == "dit":
+    elif family in ("dit", "midi"):
+        import dataclasses as _dc
+
         from regen3d_tpu.models.dit import DiTConfig, ShapeDiT
         cfg = DiTConfig.base() if checkpoint else DiTConfig.tiny()
+        if family == "midi":
+            cfg = _dc.replace(cfg, cross_instance=True)
         model = ShapeDiT(cfg)
         inputs = {"x": det((1, cfg.latent_tokens, cfg.latent_dim)),
                   "t": np.asarray([0.5], np.float32),

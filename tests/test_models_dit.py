@@ -126,3 +126,58 @@ class TestShardedTraining:
         assert partition_spec_for("block0/attn/proj/kernel") == P("tp", None)
         assert partition_spec_for("block0/mlp/fc2/kernel") == P("tp", None)
         assert partition_spec_for("latent_pos") == P()
+
+
+class TestCrossInstance:
+    """MIDI multi-instance attention (run_midi.py:36-43 role)."""
+
+    def test_zero_gate_identity_with_plain_dit(self):
+        """At init the gates are zero, so a cross_instance model with the
+        plain DiT's weights grafted in produces IDENTICAL outputs — a
+        converted single-instance checkpoint loads unchanged."""
+        import dataclasses
+
+        c0 = DiTConfig.tiny()
+        c1 = dataclasses.replace(c0, cross_instance=True)
+        m0, m1 = ShapeDiT(c0), ShapeDiT(c1)
+        x = jnp.ones((2, c0.latent_tokens, c0.latent_dim)) * 0.3
+        t = jnp.asarray([0.25, 0.75])
+        cond = jnp.ones((2, 4, c0.cond_dim)) * 0.1
+        p1 = m1.init(jax.random.PRNGKey(0), x, t, cond)
+        # graft the shared leaves into a plain-dit tree
+        shared = {k: v for k, v in p1["params"].items()
+                  if not k.startswith("inst_")}
+        y0 = m0.apply({"params": shared}, x, t, cond)
+        y1 = m1.apply(p1, x, t, cond)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   atol=1e-6)
+
+    def test_instances_couple_when_gated(self):
+        """With a nonzero gate, instance 0's output depends on instance
+        1's latent — the joint multi-instance denoising is real."""
+        import dataclasses
+
+        c = dataclasses.replace(DiTConfig.tiny(), cross_instance=True)
+        m = ShapeDiT(c)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, c.latent_tokens, c.latent_dim)),
+                        jnp.float32)
+        t = jnp.asarray([0.5, 0.5])
+        cond = jnp.zeros((2, 4, c.cond_dim))
+        p = m.init(jax.random.PRNGKey(0), x, t, cond)
+        def surge(kp, v):
+            keys = [str(getattr(k, "key", k)) for k in kp]
+            if any("inst_gate" in k for k in keys):
+                return jnp.ones_like(v)
+            # x_out is zero-init (AdaLN-Zero); un-zero it so coupling can
+            # reach the output
+            if "x_out" in keys and keys[-1] == "kernel":
+                return jnp.ones_like(v) * 0.01
+            return v
+
+        p = jax.tree_util.tree_map_with_path(surge, p)
+        y_a = m.apply(p, x, t, cond)
+        x2 = x.at[1].add(1.0)       # perturb ONLY instance 1
+        y_b = m.apply(p, x2, t, cond)
+        assert not np.allclose(np.asarray(y_a[0]), np.asarray(y_b[0])), \
+            "instance 0 unaffected by instance 1 — no cross-instance attention"
