@@ -42,11 +42,23 @@ class FleetResult:
     error: Optional[str] = None
 
 
+def shard_jobs(jobs: Sequence[SceneJob], pidx: int,
+               pcount: int) -> List[SceneJob]:
+    """Deterministic DCN scene sharding: host ``pidx`` of ``pcount`` takes
+    every pcount-th job (round-robin, so a sorted-by-cost job list load-
+    balances). The union over all hosts is exactly ``jobs``, disjoint."""
+    if not 0 <= pidx < pcount:
+        raise ValueError(f"process index {pidx} not in [0, {pcount})")
+    return [j for i, j in enumerate(jobs) if i % pcount == pidx]
+
+
 def run_fleet(
     jobs: Sequence[SceneJob],
     phases: Sequence[int] = tuple(range(1, 10)),
     io_workers: int = 4,
     base_overrides: Optional[dict] = None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> List[FleetResult]:
     """Run the pipeline over many scenes.
 
@@ -55,10 +67,12 @@ def run_fleet(
     internally) with IO-bound phases (1, 2, 8 file export) overlapped via a
     small thread pool. Failures are isolated per scene (the reference's
     break-on-failure applies within a scene, not across the fleet).
+    ``process_index``/``process_count`` default to the live JAX distributed
+    runtime; tests inject values to exercise the multi-host slicing.
     """
-    pidx = jax.process_index()
-    pcount = jax.process_count()
-    mine = [j for i, j in enumerate(jobs) if i % pcount == pidx]
+    pidx = jax.process_index() if process_index is None else process_index
+    pcount = jax.process_count() if process_count is None else process_count
+    mine = shard_jobs(jobs, pidx, pcount)
     log.info("fleet: host %d/%d takes %d/%d scenes", pidx, pcount,
              len(mine), len(jobs))
 

@@ -47,6 +47,32 @@ class TestMeshRules:
         mesh = make_mesh(1)
         assert dict(mesh.shape) == {"dp": 1, "tp": 1}
 
+    def test_vggt_tp_sharded_equals_unsharded(self):
+        """Tensor-parallel VGGT forward == single-device forward (f32): a
+        wrong partition rule that still produces finite numbers fails here
+        (VERDICT r2 weak #5)."""
+        from jax.sharding import NamedSharding
+        from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+        cfg = VGGTConfig(image_size=28, patch=14, width=64, depth=2,
+                         num_heads=4, backbone_depth=1,
+                         num_register_tokens=1, camera_iterations=1,
+                         camera_trunk_depth=1, dtype=jnp.float32)
+        model = VGGT(cfg)
+        imgs = jax.random.uniform(
+            jax.random.PRNGKey(7), (1, 2, cfg.image_size, cfg.image_size, 3))
+        params = model.init(jax.random.PRNGKey(0), imgs)
+        ref = jax.jit(model.apply)(params, imgs)
+        mesh = make_mesh(8)           # dp=2 × tp=4
+        sp = shard_params(params, mesh)
+        simgs = jax.device_put(imgs, NamedSharding(mesh, P()))
+        with mesh:
+            out = jax.jit(model.apply)(sp, simgs)
+            for k in ("depth", "pose_enc"):
+                np.testing.assert_allclose(
+                    np.asarray(out[k], np.float32),
+                    np.asarray(ref[k], np.float32),
+                    rtol=1e-4, atol=1e-5, err_msg=k)
+
 
 class TestShardedPoseFit:
     def _make_problem(self, b=3, h=24, w=24, seed=0):
@@ -123,6 +149,44 @@ class TestFleet:
         import os
         for i in range(2):
             assert os.path.isdir(str(tmp_path / f"out{i}" / "findings"))
+
+    def test_shard_jobs_partitions_exactly(self):
+        """Multi-host DCN slicing (SURVEY §2.11): over any pcount, every
+        scene lands on exactly one host and the union is the full list."""
+        from regen3d_tpu.parallel.fleet import SceneJob, shard_jobs
+        jobs = [SceneJob(f"s{i}", f"i{i}.png", f"o{i}") for i in range(7)]
+        for pcount in (1, 2, 3, 8):
+            shards = [shard_jobs(jobs, p, pcount) for p in range(pcount)]
+            ids = [j.scene_id for s in shards for j in s]
+            assert sorted(ids) == sorted(j.scene_id for j in jobs), pcount
+            assert len(ids) == len(set(ids)), pcount
+        # round-robin: host 0 of 2 takes the even indices
+        assert [j.scene_id for j in shard_jobs(jobs, 0, 2)] == \
+            ["s0", "s2", "s4", "s6"]
+        with pytest.raises(ValueError):
+            shard_jobs(jobs, 2, 2)
+
+    def test_run_fleet_respects_process_slicing(self, tmp_path):
+        """run_fleet with an injected process_index runs ONLY its shard —
+        the DCN path exercised without a real 2-process runtime."""
+        from regen3d_tpu.parallel.fleet import SceneJob, run_fleet
+        from regen3d_tpu.utils.image import save_image
+        img = np.full((32, 32, 3), 210, np.uint8)
+        img[8:24, 8:24] = (170, 60, 40)
+        jobs = []
+        for i in range(3):
+            p = str(tmp_path / f"scene{i}.png")
+            save_image(p, img)
+            jobs.append(SceneJob(f"s{i}", p, str(tmp_path / f"out{i}")))
+        r0 = run_fleet(jobs, phases=[1], process_index=0, process_count=2)
+        r1 = run_fleet(jobs, phases=[1], process_index=1, process_count=2)
+        assert [r.scene_id for r in r0] == ["s0", "s2"]
+        assert [r.scene_id for r in r1] == ["s1"]
+        assert all(r.ok for r in r0 + r1), [r.error for r in r0 + r1]
+        import os
+        done = [i for i in range(3)
+                if os.path.isdir(str(tmp_path / f"out{i}" / "findings"))]
+        assert done == [0, 1, 2]
 
     def test_fleet_isolates_failures(self, tmp_path):
         """A broken scene fails alone; the rest of the fleet completes."""
