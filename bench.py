@@ -481,8 +481,8 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
     # warmup pass: compiles every program + provides a GT scene for 7/9
     warm = run_scene()
     gt = os.path.join(workdir, "gt_scene.glb")
-    shutil.copy(os.path.join(art.glb_scene_dir, "combined_scene.glb"), gt)
-    cfg = cfg.override(GT_scene=gt)
+    shutil.copy(art.combined_scene_glb, gt)
+    cfg = cfg.with_overrides(GT_scene=gt)
 
     runs = []
     for _ in range(repeats):
@@ -493,9 +493,7 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
                  for p in runs[0]}
     per_phase[4] += vggt_fwd_s
     total = sum(per_phase.values())
-    n_objects = len([f for f in os.listdir(art.assets_3d)
-                     if os.path.isdir(os.path.join(art.assets_3d, f))]) \
-        if os.path.isdir(art.assets_3d) else 0
+    n_objects = len(art.list_assets()) if os.path.isdir(art.assets_root) else 0
     sam_s = results.get("sam_ms_per_forward", 0.0) / 1e3
     total_modeled = total + sam_s      # phase 1 with weights adds one encode
 

@@ -95,15 +95,24 @@ class OfflineInpainter:
 
 
 def prepare_for_3d(png_path: str, out_path: str, size: int = 512,
-                   margin: float = 0.08) -> None:
+                   margin: float = 0.08, matting=None) -> None:
     """prep for the image-to-3D stage (reference: prepare_for_hunyuan,
-    inpaint_nanoBanana.py:124-343): 2× upscale → white-background →alpha →
+    inpaint_nanoBanana.py:124-343): 2× upscale → background removal →alpha →
     square crop around the alpha bbox with margin → clean + sharpen edges →
-    size² RGBA."""
+    size² RGBA.
+
+    ``matting``: an optional `pipeline.matting.MattingModel` (the rembg
+    U²-Net role, inpaint_nanoBanana.py:157-189); without it the white
+    threshold fallback runs (keeps shadows, drops near-white object parts
+    — honest but inferior, see matting.py)."""
     img = Image.open(png_path).convert("RGB")
     img = img.resize((img.width * 2, img.height * 2), Image.BICUBIC)
     arr = np.asarray(img)
-    alpha = (~np.all(arr >= 246, axis=-1)).astype(np.uint8) * 255
+    if matting is not None:
+        alpha = (np.clip(matting.alpha(arr), 0, 1) * 255).astype(np.uint8)
+        alpha = np.where(alpha > 127, alpha, 0)
+    else:
+        alpha = (~np.all(arr >= 246, axis=-1)).astype(np.uint8) * 255
     # conservative cleanup: drop 1px fringe
     from regen3d_tpu.utils.image import erode_mask
     core = erode_mask(alpha > 0, 1, 1)
@@ -140,6 +149,17 @@ def run(cfg: Config, client: Optional[ImageGenClient] = None) -> List[str]:
             log.warning("phase2: no API key — offline inpainter")
             client = OfflineInpainter(art.findings_fullsize)
 
+    matting = None
+    ckpt = str(cfg.get("matting_checkpoint", "") or "")
+    if ckpt and os.path.isdir(ckpt):
+        from regen3d_tpu.pipeline.matting import MattingModel
+        matting = MattingModel.load(
+            ckpt, base=int(cfg.get("matting_base", 32)))
+        log.info("phase2: matting checkpoint %s", ckpt)
+    elif ckpt:
+        log.warning("phase2: matting_checkpoint %s missing — threshold "
+                    "matting fallback", ckpt)
+
     use_aq = bool(cfg.get("use_AQ", True))
     src_dir = art.banana_layouts if use_aq else art.banana_outline
     prompt_tpl = str(cfg.get("prompt_AQ") if use_aq
@@ -170,7 +190,7 @@ def run(cfg: Config, client: Optional[ImageGenClient] = None) -> List[str]:
                                   temperature=temp, top_p=top_p, seed=seed)
         save_image(out_path, img)
         prepare_for_3d(out_path, os.path.join(art.prepped_dir, f"{stem}.png"),
-                       size=512)
+                       size=512, matting=matting)
         return stem
 
     stems = art.list_findings()
