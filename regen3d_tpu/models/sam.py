@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from regen3d_tpu.models.layers import Mlp
-from regen3d_tpu.ops.attention import flash_attention
+from regen3d_tpu.ops.attention import (
+    flash_attention,
+    flash_attention_grid_bias,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,6 +90,27 @@ def _rel_pos_bias(q_hw, k_hw, rel_h, rel_w, q):
     return bias.reshape(b, heads, qh * qw, kh * kw)
 
 
+def _rel_pos_bias_factored(q_hw, k_hw, rel_h, rel_w, q):
+    """The same decomposed bias WITHOUT combining the factors: returns
+    bias_h (B, H, S, kh) and bias_w (B, H, S, kw) for the fused
+    flash_attention_grid_bias kernel — the (S, S) bias never exists."""
+    qh, qw = q_hw
+    kh, kw = k_hw
+
+    def get(rel, qs, ks):
+        coords = (jnp.arange(qs)[:, None] - jnp.arange(ks)[None, :]) + (ks - 1)
+        return rel[coords]
+
+    rh = get(rel_h, qh, kh)
+    rw = get(rel_w, qw, kw)
+    b, heads, _, d = q.shape
+    qr = q.reshape(b, heads, qh, qw, d)
+    bias_h = jnp.einsum("bnhwd,hkd->bnhwk", qr, rh)   # (B,H,qh,qw,kh)
+    bias_w = jnp.einsum("bnhwd,wkd->bnhwk", qr, rw)   # (B,H,qh,qw,kw)
+    return (bias_h.reshape(b, heads, qh * qw, kh),
+            bias_w.reshape(b, heads, qh * qw, kw))
+
+
 class SamAttention(nn.Module):
     """ViT attention with optional decomposed rel-pos bias over a 2D token grid."""
 
@@ -112,12 +136,25 @@ class SamAttention(nn.Module):
                                (2 * h - 1, hd), jnp.float32)
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * w - 1, hd), jnp.float32)
-            logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
-                                preferred_element_type=jnp.float32) * scale
-            logits = logits + _rel_pos_bias((h, w), (h, w), rel_h, rel_w,
-                                            q.astype(jnp.float32) * scale)
-            p = jax.nn.softmax(logits, axis=-1)
-            o = jnp.einsum("bnqk,bnkd->bnqd", p.astype(v.dtype), v)
+            if h * w >= 1024:
+                # fused kernel: the factored bias stays (S, kh) + (S, kw);
+                # the (S, S) logits/bias never reach HBM — the XLA einsum
+                # path materialized ~1 GB f32 per SAM-H 64² global block
+                bias_h, bias_w = _rel_pos_bias_factored(
+                    (h, w), (h, w), rel_h, rel_w,
+                    q.astype(jnp.float32) * scale)
+                o = flash_attention_grid_bias(q, k, v, bias_h, bias_w, w)
+            else:
+                # small windows (14²=196 tokens): the quadratic is tiny and
+                # XLA's fused softmax wins over kernel tiling overhead
+                logits = jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+                logits = logits + _rel_pos_bias(
+                    (h, w), (h, w), rel_h, rel_w,
+                    q.astype(jnp.float32) * scale)
+                p = jax.nn.softmax(logits, axis=-1)
+                o = jnp.einsum("bnqk,bnkd->bnqd", p.astype(v.dtype), v)
         else:
             o = flash_attention(q, k, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, h, w, c)

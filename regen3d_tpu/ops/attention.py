@@ -311,6 +311,375 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# flash attention with a FACTORED additive bias over a 2D key grid
+# ---------------------------------------------------------------------------
+#
+# SAM's decomposed relative-position bias (segment_anything
+# image_encoder.py add_decomposed_rel_pos) adds, for query q and key at
+# grid cell (m, n):   bias[q, (m, n)] = A[q, m] + B[q, n]
+# with A = (q·scale) @ Rel_hᵀ and B = (q·scale) @ Rel_wᵀ.  Materializing
+# bias (and the logits) is (S, S) — 1 GB in f32 for SAM-H's 4096-token
+# global blocks, which makes the XLA path HBM-bound.  Here the factored
+# terms stay as (S, kh) + (S, kw) tensors and the kernel expands them
+# tile-wise ON THE MXU: with constant 0/1 selector matrices
+# Eh[m, k] = [k//kw == m] and Ew[n, k] = [k%kw == n], the tile's bias is
+# A-slice @ Eh + B @ Ew — two small matmuls (B @ Ew hoisted out of the KV
+# loop since the k%kw pattern repeats per tile), no vector reshapes
+# (Mosaic has no (Bq, r·kw)→(Bq, r, kw) reshape).  Nothing quadratic
+# ever leaves VMEM, forward or backward.
+
+
+def _gb_selectors(block_k: int, kw: int):
+    """(Eh (r, Bk), Ew (kw, Bk)) constant 0/1 expansion matrices."""
+    r = block_k // kw
+    kk = lax.broadcasted_iota(jnp.int32, (r, block_k), 1)
+    mm = lax.broadcasted_iota(jnp.int32, (r, block_k), 0)
+    eh = (kk // kw == mm).astype(jnp.float32)
+    kk2 = lax.broadcasted_iota(jnp.int32, (kw, block_k), 1)
+    nn = lax.broadcasted_iota(jnp.int32, (kw, block_k), 0)
+    ew = (kk2 % kw == nn).astype(jnp.float32)
+    return eh, ew
+
+def _flash_fwd_gb_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
+                         lse_ref, *, scale, kv_len, block_k, kw):
+    """KV loop UNROLLED (static python range): Pallas TPU lowering has no
+    dynamic_slice on values, and the trip counts here are small (16 for
+    SAM-H 64² global blocks), so static slices everywhere."""
+    q = q_ref[0].astype(jnp.float32) * scale          # (Bq, D)
+    bq = q.shape[0]
+    bias_h = bh_ref[0]                                # (Bq, KHp) f32
+    bias_w = bw_ref[0]                                # (Bq, kw)  f32
+    num_kv = (kv_len + block_k - 1) // block_k
+    r = block_k // kw
+
+    eh, ew = _gb_selectors(block_k, kw)
+    bw_full = jnp.dot(bias_w, ew, preferred_element_type=jnp.float32)
+    acc = jnp.zeros((bq, q_ref.shape[-1]), jnp.float32)
+    m_i = jnp.full((bq,), _NEG_INF, jnp.float32)
+    l_i = jnp.zeros((bq,), jnp.float32)
+    for i in range(num_kv):
+        k_blk = k_ref[0, i * block_k:(i + 1) * block_k, :].astype(jnp.float32)
+        v_blk = v_ref[0, i * block_k:(i + 1) * block_k, :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        bh_blk = bias_h[:, i * r:(i + 1) * r]         # (Bq, r)
+        s = s + jnp.dot(bh_blk, eh,
+                        preferred_element_type=jnp.float32) + bw_full
+        if (i + 1) * block_k > kv_len:                # padded tail tile
+            kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+                + i * block_k
+            s = jnp.where(kv_idx < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1))
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_i - m_new)
+        l_i = l_i * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32)
+        m_i = m_new
+    l_safe = jnp.maximum(l_i, 1e-30)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse = (m_i + jnp.log(l_safe)).astype(jnp.float32)
+    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, bq))
+
+
+def _flash_bwd_gb_dq_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, g_ref,
+                            lse_ref, dl_ref, dq_ref, dbh_ref, dbw_ref, *,
+                            scale, kv_len, block_k, kw):
+    """Grid over q-tiles: dq (k-path), dbias_h, dbias_w. KV loop unrolled
+    (see _flash_fwd_gb_kernel); each unrolled step writes its own static
+    dbias_h column block."""
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bias_h = bh_ref[0]
+    bias_w = bw_ref[0]
+    lse = lse_ref[0, 0, :]
+    delta = dl_ref[0, 0, :]
+    bq = q.shape[0]
+    num_kv = (kv_len + block_k - 1) // block_k
+    r = block_k // kw
+
+    eh, ew = _gb_selectors(block_k, kw)
+    bw_full = jnp.dot(bias_w, ew, preferred_element_type=jnp.float32)
+    dq = jnp.zeros((bq, q.shape[1]), jnp.float32)
+    dbw = jnp.zeros(bias_w.shape, jnp.float32)
+    for i in range(num_kv):
+        k_blk = k_ref[0, i * block_k:(i + 1) * block_k, :].astype(jnp.float32)
+        v_blk = v_ref[0, i * block_k:(i + 1) * block_k, :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        bh_blk = bias_h[:, i * r:(i + 1) * r]
+        s = s + jnp.dot(bh_blk, eh,
+                        preferred_element_type=jnp.float32) + bw_full
+        kv_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        p = jnp.where(kv_idx < kv_len, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jnp.dot(g, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])                # (Bq, Bk) UNscaled
+        dq = dq + jnp.dot(ds, k_blk,
+                          preferred_element_type=jnp.float32) * scale
+        # dbias_h[q, m] = Σ_n ds = ds @ Ehᵀ; dbias_w[q, n] = Σ_m = ds @ Ewᵀ
+        dbh_ref[0, :, i * r:(i + 1) * r] = jnp.dot(
+            ds, eh.T, preferred_element_type=jnp.float32)
+        dbw = dbw + jnp.dot(ds, ew.T, preferred_element_type=jnp.float32)
+    dq_ref[0] = dq
+    dbw_ref[0] = dbw
+
+
+def _flash_bwd_gb_dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, g_ref,
+                             lse_ref, dl_ref, dk_ref, dv_ref, *, scale,
+                             q_len, block_q, kw):
+    """Grid over kv-tiles: dk, dv (recomputing p with the factored bias).
+    Q loop unrolled; this tile's bias_h COLUMN block arrives via its
+    BlockSpec (indexed by the kv grid axis), so no dynamic slicing."""
+    k_blk = k_ref[0].astype(jnp.float32)              # (Bk, D)
+    v_blk = v_ref[0].astype(jnp.float32)
+    bk = k_blk.shape[0]
+    r = bk // kw
+    num_q = (q_len + block_q - 1) // block_q
+
+    eh, ew = _gb_selectors(bk, kw)
+    dk = jnp.zeros((bk, k_blk.shape[1]), jnp.float32)
+    dv = jnp.zeros((bk, k_blk.shape[1]), jnp.float32)
+    for i in range(num_q):
+        q_t = q_ref[0, i * block_q:(i + 1) * block_q, :].astype(jnp.float32)
+        g_t = g_ref[0, i * block_q:(i + 1) * block_q, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, i * block_q:(i + 1) * block_q]
+        delta = dl_ref[0, 0, i * block_q:(i + 1) * block_q]
+        bh_t = bh_ref[0, i * block_q:(i + 1) * block_q, :]      # (Bq, r)
+        bw_t = bw_ref[0, i * block_q:(i + 1) * block_q, :]
+        s = jnp.dot(q_t, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = s + jnp.dot(bh_t, eh, preferred_element_type=jnp.float32) \
+            + jnp.dot(bw_t, ew, preferred_element_type=jnp.float32)
+        q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
+        p = jnp.where(q_idx < q_len, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jnp.dot(g_t, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        dk = dk + jnp.dot(ds.T, q_t, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(p.T, g_t, preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _gb_pad_inputs(q, k, v, bias_h, bias_w, kw, block_q, block_k):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    bh_ = b * h
+    qf = q.reshape(bh_, sq, d)
+    kf = k.reshape(bh_, sk, d)
+    vf = v.reshape(bh_, sk, d)
+    khp0 = bias_h.shape[-1]
+    bhf = bias_h.reshape(bh_, sq, khp0).astype(jnp.float32)
+    bwf = bias_w.reshape(bh_, sq, kw).astype(jnp.float32)
+
+    pad_q = (-sq) % block_q
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+        bhf = jnp.pad(bhf, ((0, 0), (0, pad_q), (0, 0)))
+        bwf = jnp.pad(bwf, ((0, 0), (0, pad_q), (0, 0)))
+    pad_k = (-sk) % block_k
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+    khp = kf.shape[1] // kw                       # key-grid rows incl. pad
+    if khp > khp0:
+        bhf = jnp.pad(bhf, ((0, 0), (0, 0), (0, khp - khp0)))
+    return qf, kf, vf, bhf, bwf
+
+
+def _gb_block_k(kw: int, sk: int, target: int = 256) -> int:
+    """Largest multiple of lcm(kw, 8) ≤ target (≥ one unit): keeps the KV
+    tile a whole number of key-grid rows AND sublane-aligned."""
+    import math
+    unit = kw * 8 // math.gcd(kw, 8)
+    bk = unit * max(1, target // unit)
+    return min(bk, unit * ((sk + unit - 1) // unit))
+
+
+def _gb_block_q(block_q: int, sq: int) -> int:
+    bq = min(block_q, max(sq, 8))
+    return (bq + 7) // 8 * 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention_grid_bias(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias_h: jnp.ndarray,
+    bias_w: jnp.ndarray,
+    kw: int,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention + factored key-grid bias (SAM decomposed rel-pos).
+
+    q, k, v: (B, H, S, D); keys form a (kh, kw) grid with S = kh·kw.
+    bias_h: (B, H, S, kh) — per-query bias vs key-grid ROW (already scaled).
+    bias_w: (B, H, S, kw) — per-query bias vs key-grid COLUMN.
+    logits[q, (m, n)] = scale·q·k + bias_h[q, m] + bias_w[q, n].
+    Differentiable in all five tensor args; O(S·(kh+kw)) memory.
+    """
+    o, _ = _gb_fwd_impl(q, k, v, bias_h, bias_w, kw, scale, block_q,
+                        interpret)
+    return o
+
+
+def _gb_fwd_impl(q, k, v, bias_h, bias_w, kw, scale, block_q, interpret):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    s = scale if scale is not None else 1.0 / (d ** 0.5)
+    interp = _auto_interpret(interpret)
+    bq = _gb_block_q(block_q, sq)
+    bk = _gb_block_k(kw, sk)
+    qf, kf, vf, bhf, bwf = _gb_pad_inputs(q, k, v, bias_h, bias_w, kw, bq, bk)
+    bh_ = b * h
+    sq_p, sk_p = qf.shape[1], kf.shape[1]
+    khp = bhf.shape[-1]
+
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_gb_kernel, scale=s, kv_len=sk,
+                          block_k=bk, kw=kw),
+        grid=(bh_, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, khp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kw), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, bq), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh_, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh_, 8, sq_p), jnp.float32),
+        ),
+        interpret=interp,
+    )(qf, kf, vf, bhf, bwf)
+    o = o[:, :sq].reshape(b, h, sq, d)
+    lse = lse[:, 0, :sq].reshape(b, h, sq)
+    return o, lse
+
+
+def _gb_vjp_fwd(q, k, v, bias_h, bias_w, kw, scale, block_q, interpret):
+    o, lse = _gb_fwd_impl(q, k, v, bias_h, bias_w, kw, scale, block_q,
+                          interpret)
+    return o, (q, k, v, bias_h, bias_w, o, lse)
+
+
+def _gb_vjp_bwd(kw, scale, block_q, interpret, res, g):
+    q, k, v, bias_h, bias_w, o, lse = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    s = scale if scale is not None else 1.0 / (d ** 0.5)
+    interp = _auto_interpret(interpret)
+    bq = _gb_block_q(block_q, sq)
+    bk = _gb_block_k(kw, sk)
+    qf, kf, vf, bhf, bwf = _gb_pad_inputs(q, k, v, bias_h, bias_w, kw, bq, bk)
+    bh_ = b * h
+    sq_p, sk_p = qf.shape[1], kf.shape[1]
+    khp = bhf.shape[-1]
+    khp0 = bias_h.shape[-1]
+
+    delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
+    gf = g.reshape(bh_, sq, d)
+    if sq_p > sq:
+        gf = jnp.pad(gf, ((0, 0), (0, sq_p - sq), (0, 0)))
+    lsef = jnp.pad(lse.reshape(bh_, 1, sq),
+                   ((0, 0), (0, 0), (0, sq_p - sq)))
+    dlf = jnp.pad(delta.reshape(bh_, 1, sq),
+                  ((0, 0), (0, 0), (0, sq_p - sq)))
+
+    full_k = lambda: pl.BlockSpec((1, sk_p, d), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    full_q = lambda: pl.BlockSpec((1, sq_p, d), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    full_s = lambda: pl.BlockSpec((1, 1, sq_p), lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+
+    dq, dbh, dbw = pl.pallas_call(
+        functools.partial(_flash_bwd_gb_dq_kernel, scale=s, kv_len=sk,
+                          block_k=bk, kw=kw),
+        grid=(bh_, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            full_k(), full_k(),
+            pl.BlockSpec((1, bq, khp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kw), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, khp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kw), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh_, sq_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh_, sq_p, khp), jnp.float32),
+            jax.ShapeDtypeStruct((bh_, sq_p, kw), jnp.float32),
+        ),
+        interpret=interp,
+    )(qf, kf, vf, bhf, bwf, gf, lsef, dlf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_gb_dkv_kernel, scale=s, q_len=sq,
+                          block_q=bq, kw=kw),
+        grid=(bh_, sk_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            full_q(),
+            # this kv-tile's bias_h COLUMN block (r = bk//kw key-grid rows)
+            pl.BlockSpec((1, sq_p, bk // kw), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_p, kw), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full_q(), full_s(), full_s(),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh_, sk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh_, sk_p, d), jnp.float32),
+        ),
+        interpret=interp,
+    )(kf, vf, qf, bhf, bwf, gf, lsef, dlf)
+
+    dq = dq[:, :sq].reshape(b, h, sq, d).astype(q.dtype)
+    dk = dk[:, :sk].reshape(b, h, sk, d).astype(k.dtype)
+    dv = dv[:, :sk].reshape(b, h, sk, d).astype(v.dtype)
+    dbh = dbh[:, :sq, :khp0].reshape(bias_h.shape).astype(bias_h.dtype)
+    dbw = dbw[:, :sq].reshape(bias_w.shape).astype(bias_w.dtype)
+    return dq, dk, dv, dbh, dbw
+
+
+flash_attention_grid_bias.defvjp(_gb_vjp_fwd, _gb_vjp_bwd)
+
+
 def multihead_attention(
     x_q: jnp.ndarray,
     x_kv: jnp.ndarray,
