@@ -64,13 +64,10 @@ def run(cfg: Config, model=None, params=None) -> Optional[str]:
     art = Artifacts(cfg)
     ckpt = str(cfg.get("depth_anything_checkpoint", "") or "")
     if model is None and ckpt and os.path.exists(ckpt):
-        from regen3d_tpu.models.depth_anything import (
-            DepthAnything,
-            DepthAnythingConfig,
-        )
-        from regen3d_tpu.models.weights import load_checkpoint
-        model = DepthAnything(DepthAnythingConfig.small())
-        params = load_checkpoint(ckpt)
+        # honors the config.json sidecar written by depth_distill (and
+        # defaults to the ViT-S dims a converted checkpoint uses)
+        from regen3d_tpu.pipeline.depth_distill import load_depth_checkpoint
+        params, model = load_depth_checkpoint(ckpt)
         log.info("depth: Depth-Anything checkpoint %s", ckpt)
     img = load_image_rgb(cfg.path("input_image"), max_side=1280)
     depth = estimate_depth(img, model, params)
