@@ -56,6 +56,13 @@ DEFAULTS: Dict[str, Any] = {
     "depth_anything_checkpoint": "",
     "use_points": False,
     "point_method": "max_distance",
+    # distilled (or converted) saliency net for point_method: saliency
+    # (scripts/distill_saliency.py); empty = max_distance fallback
+    "saliency_checkpoint": "",
+    # distilled MattingUNet for phase-2 prep (scripts/distill_matting.py);
+    # empty = white-threshold matting fallback
+    "matting_checkpoint": "",
+    "matting_base": 32,
     "scale_bounding_boxes": 1.01,
     "findings_padding": 5,
     "banana_line_thickness": 3,

@@ -47,18 +47,18 @@ class T2TStem(nn.Module):
         b, h, w, c = x.shape
         t = TransformerBlock(2, mlp_ratio=1.0, dtype=self.dtype, name="t2t1")(
             x.reshape(b, h * w, c))
-        x = t.reshape(b, h, w, c)
+        s4 = t.reshape(b, h, w, c)                 # stride-4 skip
         # soft split 2: 3×3 stride 2
         x = nn.Conv(self.width // 2, (3, 3), strides=(2, 2), dtype=self.dtype,
-                    name="unfold2")(x)
+                    name="unfold2")(s4)
         b, h, w, c = x.shape
         t = TransformerBlock(2, mlp_ratio=1.0, dtype=self.dtype, name="t2t2")(
             x.reshape(b, h * w, c))
-        x = t.reshape(b, h, w, c)
+        s8 = t.reshape(b, h, w, c)                 # stride-8 skip
         # final projection: 3×3 stride 2 → width
         x = nn.Conv(self.width, (3, 3), strides=(2, 2), dtype=self.dtype,
-                    name="proj")(x)
-        return x
+                    name="proj")(s8)
+        return x, s8, s4
 
 
 class SaliencyTransformer(nn.Module):
@@ -67,7 +67,13 @@ class SaliencyTransformer(nn.Module):
     @nn.compact
     def __call__(self, img):  # (B, H, W, 3) in [0,1] → (B, H, W) in [0,1]
         c = self.cfg
-        feat = T2TStem(c.width, c.dtype, name="stem")(img)
+        # saliency is DEFINED relative to the frame: give the stem the
+        # globally mean-centered image alongside the raw one so
+        # "contrasts with the scene" is a linear feature, not something
+        # the encoder must rediscover through attention
+        inp = jnp.concatenate(
+            [img, img - img.mean(axis=(1, 2), keepdims=True)], axis=-1)
+        feat, s8, s4 = T2TStem(c.width, c.dtype, name="stem")(inp)
         b, gh, gw, _ = feat.shape
         x = feat.reshape(b, gh * gw, c.width)
         x = x + posemb_sincos_2d(gh, gw, c.width)[None].astype(c.dtype)
@@ -83,7 +89,19 @@ class SaliencyTransformer(nn.Module):
         # saliency-token ↔ patch similarity decodes the map (VST decoder role)
         att = Attention(c.num_heads, dtype=c.dtype, name="decode")(
             nn.LayerNorm(dtype=c.dtype, name="dn")(patches), sal)
-        logits = nn.Dense(1, dtype=jnp.float32, name="out")(
-            patches + att)[..., 0].reshape(b, gh, gw)
+        d = (patches + att).reshape(b, gh, gw, c.width)
+        # reverse-T2T decoder (VST RT2T role): progressively upsample tokens
+        # back to the stride-4 soft-split resolution, fusing stem skips —
+        # a 16×-downsampled logit grid alone cannot localize small objects
+        d = nn.ConvTranspose(c.width // 2, (3, 3), strides=(2, 2),
+                             dtype=c.dtype, name="up8")(d)
+        d = d + nn.Dense(c.width // 2, dtype=c.dtype, name="skip8")(s8)
+        bb, h8, w8, cc = d.shape
+        d = TransformerBlock(2, mlp_ratio=1.0, dtype=c.dtype, name="dec8")(
+            d.reshape(bb, h8 * w8, cc)).reshape(bb, h8, w8, cc)
+        d = nn.ConvTranspose(c.width // 2, (3, 3), strides=(2, 2),
+                             dtype=c.dtype, name="up4")(d)
+        d = d + nn.Dense(c.width // 2, dtype=c.dtype, name="skip4")(s4)
+        logits = nn.Dense(1, dtype=jnp.float32, name="out")(d)[..., 0]
         up = jax.image.resize(logits, (b, *img.shape[1:3]), "bilinear")
         return jax.nn.sigmoid(up)

@@ -133,16 +133,48 @@ def points_max_distance(mask: np.ndarray, n: int) -> np.ndarray:
     return np.asarray(pts, np.float32).reshape(-1, 2)
 
 
+def points_saliency(image: np.ndarray, mask: np.ndarray, n: int,
+                    saliency_model) -> np.ndarray:
+    """Peaks of the saliency map inside the mask (VST point strategy):
+    greedy picks with a 10-px suppression window, like max_distance."""
+    from scipy import ndimage
+    smap = saliency_model.saliency(image).copy()
+    # smooth before peak-picking: a lone bright pixel shouldn't out-rank
+    # the object's interior plateau
+    smap = ndimage.uniform_filter(smap, size=5)
+    smap[~mask] = -1.0
+    flat = np.argsort(smap.reshape(-1))[::-1]
+    pts = []
+    taken = np.zeros_like(mask)
+    h, w = mask.shape
+    for i in flat:
+        y, x = divmod(int(i), w)
+        if smap[y, x] <= 0:
+            break
+        if taken[max(0, y - 10):y + 10, max(0, x - 10):x + 10].any():
+            continue
+        pts.append((x, y))
+        taken[y, x] = True
+        if len(pts) >= n:
+            break
+    if not pts:                         # saliency missed the mask entirely
+        return points_max_distance(mask, n)
+    return np.asarray(pts, np.float32).reshape(-1, 2)
+
+
 def generate_points(method: str, image: np.ndarray, mask: np.ndarray, n: int,
-                    seed: int = 0) -> np.ndarray:
+                    seed: int = 0, saliency_model=None) -> np.ndarray:
     """Dispatch on config `point_method` (random | max_entropy |
-    max_distance | saliency). `saliency` uses the saliency-net head when
-    weights are available, else falls back to max_distance."""
+    max_distance | saliency). `saliency` uses the saliency net (a
+    `saliency_distill.SaliencyModel`, loaded from `saliency_checkpoint`)
+    when provided, else falls back to max_distance."""
     rng = np.random.default_rng(seed)
     if method == "random":
         return points_random(mask, n, rng)
     if method == "max_entropy":
         return points_max_entropy(image, mask, n)
+    if method == "saliency" and saliency_model is not None:
+        return points_saliency(image, mask, n, saliency_model)
     if method in ("max_distance", "saliency"):
         return points_max_distance(mask, n)
     raise ValueError(f"unknown point_method: {method}")

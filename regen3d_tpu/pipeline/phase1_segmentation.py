@@ -95,6 +95,17 @@ def detect_and_segment(
                                  seed=int(cfg.get("seed", 1234567)))
     dets = nms(dets, iou_thr)
 
+    saliency_model = None
+    if str(cfg.get("point_method", "")) == "saliency":
+        sal_ckpt = str(cfg.get("saliency_checkpoint", "") or "")
+        if sal_ckpt and os.path.isdir(sal_ckpt):
+            from regen3d_tpu.pipeline.saliency_distill import SaliencyModel
+            saliency_model = SaliencyModel.load(sal_ckpt)
+            log.info("phase1: saliency checkpoint %s", sal_ckpt)
+        elif sal_ckpt:
+            log.warning("phase1: saliency_checkpoint %s missing — "
+                        "max_distance fallback", sal_ckpt)
+
     if sam is not None and sam_params is not None:
         import jax.numpy as jnp
         h, w = image.shape[:2]
@@ -112,7 +123,8 @@ def detect_and_segment(
             if use_points and d.mask is not None:
                 pts_px = generate_points(cfg.get("point_method", "max_distance"),
                                          image, d.mask, 3,
-                                         int(cfg.get("seed", 1234567)))
+                                         int(cfg.get("seed", 1234567)),
+                                         saliency_model=saliency_model)
                 pts = jnp.asarray(pts_px[None] / [w, h]) if len(pts_px) else \
                     jnp.zeros((1, 1, 2))
                 labs = jnp.ones((1, pts.shape[1]))
