@@ -108,13 +108,30 @@ def scene_step(
                  principal=jnp.stack([cam_dec["cx"][0], cam_dec["cy"][0]]),
                  image_size=image_hw or (s, s))
 
+    # fit at fit_cfg.image_hw, which may be COARSER than the VGGT frame
+    # (phase 6's coarse leg): max-pool the masks and rescale the camera.
+    # Fitting at the full 518² frame with the streaming rasterizer needs
+    # (pixels × face_chunk × K) tiles — 2 GB each at K=8 — which blows the
+    # HBM budget inside one fused program; the coarse fit is the serving
+    # configuration (fidelity probe: coarse-to-fine loses nothing).
+    fh, fw = fit_cfg.image_hw
+    if (fh, fw) != (s, s):
+        if s % fh or s % fw:
+            raise ValueError(
+                f"fit_cfg.image_hw {fit_cfg.image_hw} must divide the "
+                f"frame size {s} for mask pooling")
+        masks_fit = masks.reshape(k, fh, s // fh, fw, s // fw).max((2, 4))
+        cam = cam.rescaled(fh, fw)
+    else:
+        masks_fit = masks
+
     med = jnp.nanmedian(jnp.where(pts_valid[..., None], pts, jnp.nan),
                         axis=1)
     med = jnp.nan_to_num(med, nan=2.0)
     batch = ObjectBatch(
         verts=verts, verts_mask=verts_mask,
         faces=faces, faces_mask=faces_mask,
-        target_mask=masks.astype(jnp.float32),
+        target_mask=masks_fit.astype(jnp.float32),
         target_points=jnp.where(pts_valid[..., None], pts, 0.0),
         points_mask=pts_valid,
         pivot_R=jnp.tile(jnp.eye(3)[None], (k, 1, 1)),

@@ -112,3 +112,34 @@ class TestSceneStep:
             v = np.asarray(uv[:, 1])
             assert np.all(u >= xs.min() - 1) and np.all(u <= xs.max() + 2)
             assert np.all(v >= ys.min() - 1) and np.all(v <= ys.max() + 2)
+
+
+class TestCoarseFit:
+    def test_fit_at_half_resolution(self, tiny_setup):
+        """fit_cfg.image_hw coarser than the frame: masks max-pool, camera
+        rescales, and the program stays finite (the serving configuration
+        that keeps the fused program inside the HBM budget)."""
+        c, model, params, imgs, masks, verts, faces = tiny_setup
+        s = c.image_size
+        cfg = FitConfig(image_hw=(s // 2, s // 2), sigma=1e-4,
+                        max_iterations=3, early_stop_min_iters=3,
+                        record_history=False)
+        res = scene_step(params, model, imgs, masks, verts,
+                         jnp.ones(verts.shape[:2], bool), faces,
+                         jnp.ones(faces.shape[:2], bool), cfg,
+                         num_points=64)
+        assert res.verts_world.shape == verts.shape
+        assert np.all(np.isfinite(np.asarray(res.verts_world)))
+        # depth/points stay at FULL frame resolution (phase-4/5 outputs)
+        assert res.depth.shape == (s, s)
+
+    def test_non_divisible_fit_resolution_raises(self, tiny_setup):
+        c, model, params, imgs, masks, verts, faces = tiny_setup
+        s = c.image_size
+        cfg = FitConfig(image_hw=(s // 2 + 1, s // 2 + 1), sigma=1e-4,
+                        max_iterations=2, early_stop_min_iters=2,
+                        record_history=False)
+        with pytest.raises(ValueError, match="must divide"):
+            scene_step(params, model, imgs, masks, verts,
+                       jnp.ones(verts.shape[:2], bool), faces,
+                       jnp.ones(faces.shape[:2], bool), cfg, num_points=64)
