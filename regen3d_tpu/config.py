@@ -56,6 +56,9 @@ DEFAULTS: Dict[str, Any] = {
     "depth_anything_checkpoint": "",
     "use_points": False,
     "point_method": "max_distance",
+    # distilled (or converted) open-vocab detector for phase 1
+    # (scripts/distill_detector.py); empty = clustering fallback
+    "detector_checkpoint": "",
     # distilled (or converted) saliency net for point_method: saliency
     # (scripts/distill_saliency.py); empty = max_distance fallback
     "saliency_checkpoint": "",

@@ -99,8 +99,12 @@ class OpenVocabDetector(nn.Module):
         self.logit_scale = self.param("logit_scale",
                                       nn.initializers.constant(2.0), ())
 
-    def __call__(self, img, tokens):
-        """Returns (scores (B, P, L), boxes (B, P, 4) cxcywh in [0,1])."""
+    def __call__(self, img, tokens, return_logits: bool = False):
+        """Returns (scores (B, P, L), boxes (B, P, 4) cxcywh in [0,1]).
+
+        With ``return_logits`` (the distillation trainer's path —
+        pipeline/detector_distill.py) the pre-sigmoid similarity and
+        objectness logits come back instead of the fused score."""
         feats, (gh, gw) = self.image_tower(img)
         z_img = self.patch_proj(feats)
         z_img = z_img / jnp.maximum(
@@ -108,7 +112,6 @@ class OpenVocabDetector(nn.Module):
         z_txt = self.text_tower(tokens)  # (L, E)
         sim = jnp.einsum("bpe,le->bpl", z_img, z_txt) * jnp.exp(self.logit_scale)
         obj = self.obj_head(feats)       # (B, P, 1) objectness
-        scores = jax.nn.sigmoid(sim) * jax.nn.sigmoid(obj)
         # box head: per-patch offset from the patch centre (cx, cy, w, h)
         ys = (jnp.arange(gh) + 0.5) / gh
         xs = (jnp.arange(gw) + 0.5) / gw
@@ -116,7 +119,11 @@ class OpenVocabDetector(nn.Module):
         raw = self.box_head(feats)
         cxcy = jax.nn.sigmoid(raw[..., :2]) * 0.5 - 0.25 + grid[None]
         wh = jax.nn.sigmoid(raw[..., 2:])
-        return scores, jnp.concatenate([cxcy, wh], axis=-1)
+        boxes = jnp.concatenate([cxcy, wh], axis=-1)
+        if return_logits:
+            return sim, obj, boxes
+        scores = jax.nn.sigmoid(sim) * jax.nn.sigmoid(obj)
+        return scores, boxes
 
     # --- host API used by phase 1 --------------------------------------------
     def detect(self, params, image: np.ndarray, labels: List[str],

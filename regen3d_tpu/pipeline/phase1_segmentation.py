@@ -87,6 +87,16 @@ def detect_and_segment(
     thr = float(cfg.get("threshold", 0.25))
     iou_thr = float(cfg.get("iou_threshold", 0.5))
 
+    if detector is None:
+        det_ckpt = str(cfg.get("detector_checkpoint", "") or "")
+        if det_ckpt and os.path.isdir(det_ckpt):
+            from regen3d_tpu.pipeline.detector_distill import (
+                load_detector_checkpoint)
+            detector_params, detector = load_detector_checkpoint(det_ckpt)
+            log.info("phase1: detector checkpoint %s", det_ckpt)
+        elif det_ckpt:
+            log.warning("phase1: detector_checkpoint %s missing — "
+                        "clustering fallback", det_ckpt)
     if detector is not None and detector_params is not None:
         dets = detector.detect(detector_params, image, labels, thr)
     else:
@@ -136,6 +146,18 @@ def detect_and_segment(
             best = int(np.argmax(np.asarray(iou)[0]))
             m = np.asarray(jax.image.resize(masks[0, best], (h, w), "bilinear"))
             d.mask = m > 0
+    else:
+        # no SAM weights: a box-filled mask keeps the detector path (e.g. a
+        # distilled detector_checkpoint) end-to-end runnable — the reference
+        # always has SAM, so this branch only exists for weightless images
+        h, w = image.shape[:2]
+        for d in dets:
+            if d.mask is None:
+                m = np.zeros((h, w), bool)
+                y0, y1 = max(int(d.box.ymin), 0), min(int(np.ceil(d.box.ymax)), h)
+                x0, x1 = max(int(d.box.xmin), 0), min(int(np.ceil(d.box.xmax)), w)
+                m[y0:y1, x0:x1] = True
+                d.mask = m
     return [d for d in dets if d.mask is not None and d.mask.any()]
 
 
