@@ -41,11 +41,20 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray
     return verts[used], remap2[f].astype(np.int32)
 
 
+def _hash_grid_keys(key3: np.ndarray) -> np.ndarray:
+    """(N, 3) non-negative int grid coords → (N,) collision-free int64 keys.
+    np.unique on the 1D hash is ~10× faster than np.unique(axis=0)'s
+    structured sort — this sits on the per-object phase-3 host path."""
+    span = int(key3.max()) + 1 if len(key3) else 1
+    return (key3[:, 0] * span + key3[:, 1]) * span + key3[:, 2]
+
+
 def weld_vertices(verts: np.ndarray, faces: np.ndarray, tol: float = 1e-6
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Merge vertices closer than tol (grid hash)."""
-    key = np.round(verts / tol).astype(np.int64)
-    _, first, inverse = np.unique(key, axis=0, return_index=True,
+    key3 = np.round(verts / tol).astype(np.int64)
+    key3 -= key3.min(0)
+    _, first, inverse = np.unique(_hash_grid_keys(key3), return_index=True,
                                   return_inverse=True)
     return verts[first], inverse[faces].astype(np.int32)
 
@@ -63,17 +72,25 @@ def decimate_vertex_clustering(
         return verts.astype(np.float32), faces.astype(np.int32)
     lo_v = verts.min(0)
     extent = float(max(verts.max(0) - lo_v))
-    lo, hi = extent / 1024.0, extent
-    best = (verts, faces)
-    for _ in range(20):
+    # clustered face count ≈ 2 · surface_area / cell²: seed the bisection
+    # bracket around that analytic cell estimate instead of
+    # [extent/1024, extent] so few rounds reach the target
+    tri = verts[faces]
+    area = float(np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]),
+        axis=1).sum()) * 0.5
+    est = float(np.sqrt(2.0 * max(area, 1e-12) / target_faces))
+    lo, hi = est / 8.0, min(est * 8.0, extent)
+    best = None
+    for _ in range(10):
         cell = (lo + hi) / 2.0
-        key = np.floor((verts - lo_v) / max(cell, 1e-12)).astype(np.int64)
-        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
-        # cluster centroid positions
-        pos = np.zeros((len(uniq), 3), np.float64)
-        cnt = np.zeros(len(uniq), np.int64)
-        np.add.at(pos, inverse, verts)
-        np.add.at(cnt, inverse, 1)
+        key3 = np.floor((verts - lo_v) / max(cell, 1e-12)).astype(np.int64)
+        uniq, inverse = np.unique(_hash_grid_keys(key3), return_inverse=True)
+        # cluster centroid positions (bincount = fused one-pass add.at)
+        cnt = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+        pos = np.stack([np.bincount(inverse, weights=verts[:, k],
+                                    minlength=len(uniq)) for k in range(3)],
+                       axis=1)
         pos = (pos / cnt[:, None]).astype(np.float32)
         f = inverse[faces]
         ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
@@ -83,6 +100,19 @@ def decimate_vertex_clustering(
         else:
             best = (pos, f.astype(np.int32))
             hi = cell
+    if best is None:
+        # bracket never reached the target (analytic seed too fine for a
+        # pathological shape): coarsest probe wins
+        key3 = np.floor((verts - lo_v) / max(hi, 1e-12)).astype(np.int64)
+        uniq, inverse = np.unique(_hash_grid_keys(key3), return_inverse=True)
+        cnt = np.bincount(inverse, minlength=len(uniq)).astype(np.float64)
+        pos = np.stack([np.bincount(inverse, weights=verts[:, k],
+                                    minlength=len(uniq)) for k in range(3)],
+                       axis=1)
+        f = inverse[faces]
+        ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        best = ((pos / cnt[:, None]).astype(np.float32),
+                f[ok].astype(np.int32))
     v, f = clean_mesh(*best)
     return v, f
 
