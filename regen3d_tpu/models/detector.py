@@ -14,6 +14,7 @@ external contract: ``detect(params, image, labels, threshold) →
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import flax.linen as nn
@@ -86,6 +87,13 @@ class DetectorImageTower(nn.Module):
         return nn.LayerNorm(dtype=jnp.float32, name="norm")(x), (gh, gw)
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_detector_apply(model: "OpenVocabDetector"):
+    """One jitted forward per module instance (flax modules are frozen,
+    hashable) — a fresh jit per detect() call recompiles per image."""
+    return jax.jit(model.apply)
+
+
 class OpenVocabDetector(nn.Module):
     cfg: DetectorConfig
 
@@ -137,7 +145,8 @@ class OpenVocabDetector(nn.Module):
             jnp.asarray(image, jnp.float32) / 255.0,
             (c.image_size, c.image_size, 3), "bilinear"))[None]
         tokens = jnp.asarray(tokenize_bytes(labels, c.text_len))
-        scores, boxes = jax.jit(self.apply)(params, jnp.asarray(img), tokens)
+        scores, boxes = _jitted_detector_apply(self)(params, jnp.asarray(img),
+                                                     tokens)
         scores = np.asarray(scores)[0]   # (P, L)
         boxes = np.asarray(boxes)[0]     # (P, 4)
         out: List[DetectionResult] = []

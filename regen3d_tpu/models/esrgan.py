@@ -95,13 +95,20 @@ class RRDBNet(nn.Module):
         return conv(3, name="conv_last")(feat)
 
 
+@functools.lru_cache(maxsize=4)
+def _jitted_rrdb_apply(cfg: ESRGANConfig):
+    """One jitted forward per config — a fresh jit per upscale call would
+    recompile this 23-block net for every texture."""
+    model = RRDBNet(cfg)
+    return jax.jit(lambda p, x: model.apply(p, x))
+
+
 def upscale_x4(params, cfg: ESRGANConfig, img: np.ndarray,
                tile: Optional[int] = 256, overlap: int = 16) -> np.ndarray:
     """×4 upscale an (H, W, 3) [0,1] image; spatial tiling bounds peak
     memory on big textures (each tile is one jitted call, overlap-blended
     by simple crop — the interior of each tile is exact)."""
-    model = RRDBNet(cfg)
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = _jitted_rrdb_apply(cfg)
     h, w = img.shape[:2]
     if tile is None or (h <= tile and w <= tile):
         out = fwd(params, jnp.asarray(img)[None])[0]

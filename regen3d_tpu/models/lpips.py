@@ -9,6 +9,7 @@ deep-feature distance (monotone in corruption), which the test asserts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List
 
 import flax.linen as nn
@@ -71,19 +72,27 @@ class LPIPS(nn.Module):
         return total
 
 
-def make_lpips_fn(params=None, image_size: int = 256):
-    """Build a jitted lpips(a, b) → scalar for phase 9."""
+@functools.lru_cache(maxsize=1)
+def _jitted_lpips_apply():
+    """Shared jitted LPIPS forward — params as ARGUMENTS (a per-call jit
+    would embed them as constants and recompile per make_lpips_fn call)."""
     model = LPIPS()
-    if params is None:
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, image_size, image_size, 3)),
-                            jnp.zeros((1, image_size, image_size, 3)))
 
     @jax.jit
-    def fn(a, b):
+    def fn(params, a, b):
         if a.ndim == 3:
             a = a[None]
             b = b[None]
         return model.apply(params, a, b)
 
     return fn
+
+
+def make_lpips_fn(params=None, image_size: int = 256):
+    """Build a jitted lpips(a, b) → scalar for phase 9."""
+    if params is None:
+        params = LPIPS().init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, image_size, image_size, 3)),
+                              jnp.zeros((1, image_size, image_size, 3)))
+    inner = _jitted_lpips_apply()
+    return lambda a, b: inner(params, a, b)

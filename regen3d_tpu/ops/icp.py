@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -87,3 +88,11 @@ def iterative_closest_point(
     i, R, t, s, rmse, _ = lax.while_loop(cond, step, init)
     aligned = (src @ R) * s + t
     return ICPResult(R=R, t=t, s=s, rmse=rmse, num_iters=i, aligned=aligned)
+
+
+# whole-ICP jit (cached at module level): eager dispatch pays a tunnel
+# round-trip per surrounding op; one program per (shape, knobs) instead
+iterative_closest_point = jax.jit(
+    iterative_closest_point,
+    static_argnames=("max_iterations", "estimate_scale",
+                     "relative_rmse_thr", "chunk"))

@@ -92,6 +92,12 @@ def poisson_indicator(
     return chi, density, (origin, cell)
 
 
+# module-level jit: a fresh wrapper per reconstruct call recompiles the FFT
+# solver every scene
+_poisson_indicator_jit = jax.jit(poisson_indicator,
+                                 static_argnames=("resolution",))
+
+
 def poisson_reconstruct(
     points: np.ndarray,
     normals: np.ndarray,
@@ -109,9 +115,8 @@ def poisson_reconstruct(
     nrm = jnp.asarray(normals, jnp.float32)
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
 
-    chi, density, (origin, cell) = jax.jit(
-        poisson_indicator, static_argnames=("resolution",)
-    )(pts, nrm, resolution=resolution)
+    chi, density, (origin, cell) = _poisson_indicator_jit(
+        pts, nrm, resolution=resolution)
     origin = np.asarray(origin)
     cell = float(cell)
 

@@ -15,6 +15,7 @@ produced so downstream consumers stay testable.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Optional
@@ -26,6 +27,14 @@ from regen3d_tpu.config import Config
 from regen3d_tpu.utils.image import load_image_rgb, save_image
 
 log = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_apply(model):
+    """One jitted forward per module instance — a fresh jit per image
+    would recompile the depth net every call."""
+    import jax
+    return jax.jit(model.apply)
 
 
 def estimate_depth(image: np.ndarray, model=None, params=None) -> np.ndarray:
@@ -43,7 +52,7 @@ def estimate_depth(image: np.ndarray, model=None, params=None) -> np.ndarray:
         img = jax.image.resize(jnp.asarray(image, jnp.float32) / 255.0,
                                (size, size, 3), "bilinear")
         if isinstance(model, DepthAnything):
-            d = np.asarray(jax.jit(model.apply)(params, img[None])[0])
+            d = np.asarray(_jitted_apply(model)(params, img[None])[0])
         else:
             out = model.apply(params, img[None, None])
             d = np.asarray(out["depth"][0, 0])

@@ -15,6 +15,7 @@ ours are interchangeable.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Dict, Optional, Tuple
@@ -211,6 +212,23 @@ def export_reconstruction(
              len(names), len(pts_by_frame[0]))
 
 
+@functools.lru_cache(maxsize=2)
+def _jitted_vggt_forward(model, resolution: int):
+    """One jitted VGGT forward per (module, resolution) — a fresh jit per
+    scene recompiles the 1B-param aggregator every call (minutes through
+    the remote-TPU tunnel)."""
+    from regen3d_tpu.models.vggt import pose_encoding_to_camera
+
+    @jax.jit
+    def forward(params, batch):
+        out = model.apply(params, batch)
+        cam = pose_encoding_to_camera(out["pose_enc"][0],
+                                      (resolution, resolution))
+        return out, cam
+
+    return forward
+
+
 def run_vggt_inference(
     cfg: Config,
     params,
@@ -255,14 +273,7 @@ def run_vggt_inference(
         valid_masks.append(vm[yy][:, yy])
     batch = jnp.asarray(np.stack(imgs))[None]  # (1, F, H, W, 3)
 
-    @jax.jit
-    def forward(params, batch):
-        out = model.apply(params, batch)
-        cam = pose_encoding_to_camera(out["pose_enc"][0],
-                                      (resolution, resolution))
-        return out, cam
-
-    out, cam = forward(params, batch)
+    out, cam = _jitted_vggt_forward(model, resolution)(params, batch)
     ba_diag = None
     if bool(cfg.get("use_ba", False)) and len(image_paths) >= 2:
         cam = refine_cameras_with_tracks(cfg, batch[0], out, cam, resolution)

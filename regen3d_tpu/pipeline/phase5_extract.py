@@ -64,6 +64,10 @@ def project_and_mask(
     return hits & inb[None, :]
 
 
+# module-level jit: a fresh wrapper per run() call would recompile per scene
+_project_and_mask_jit = jax.jit(project_and_mask)
+
+
 def run(cfg: Config) -> Dict[str, int]:
     """Extract per-object clouds for every finding. Returns {stem: n_points}."""
     art = Artifacts(cfg)
@@ -99,7 +103,7 @@ def run(cfg: Config) -> Dict[str, int]:
         return {}
 
     cam = camera_from_npz(art.camera_npz, render_hw=hw)
-    hits = np.asarray(jax.jit(project_and_mask)(
+    hits = np.asarray(_project_and_mask_jit(
         cam, jnp.asarray(world), jnp.asarray(np.stack(masks))))
 
     use_quant = bool(cfg.get("filter_vggt_quantile", True))

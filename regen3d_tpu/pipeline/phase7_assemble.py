@@ -38,6 +38,10 @@ from regen3d_tpu.utils.ply import load_ply, save_ply
 
 log = logging.getLogger(__name__)
 
+# module-level jit: a fresh wrapper per call would recompile per mesh
+_sample_points_jit = jax.jit(sample_points_from_meshes,
+                             static_argnames=("num_samples",))
+
 
 def extract_intrinsics(cfg: Config, pipeline=None) -> Optional[str]:
     """Background PBR maps from the empty room (reference:
@@ -157,7 +161,7 @@ def glb_to_point_cloud(path: str, num_samples: int, seed: int = 0) -> np.ndarray
     verts = np.concatenate([m.vertices for m in scene.meshes])
     offs = np.cumsum([0] + [m.vertices.shape[0] for m in scene.meshes[:-1]])
     faces = np.concatenate([m.faces + o for m, o in zip(scene.meshes, offs)])
-    (pts,) = jax.jit(sample_points_from_meshes, static_argnames=("num_samples",))(
+    (pts,) = _sample_points_jit(
         jnp.asarray(verts), jnp.asarray(faces.astype(np.int32)),
         num_samples=num_samples, key=jax.random.PRNGKey(seed))
     return np.asarray(pts)

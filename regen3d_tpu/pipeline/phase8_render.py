@@ -24,6 +24,7 @@ composites.
 
 from __future__ import annotations
 
+import functools
 import io
 import logging
 import os
@@ -38,7 +39,11 @@ import numpy as np
 from regen3d_tpu.artifacts import Artifacts
 from regen3d_tpu.camera import Camera, camera_from_npz, lookat_camera
 from regen3d_tpu.config import Config
-from regen3d_tpu.ops.rasterize import interpolate_attributes, rasterize_hard
+from regen3d_tpu.ops.rasterize import (
+    interpolate_attributes,
+    rasterize_hard,
+    rasterize_hard_auto,
+)
 from regen3d_tpu.utils.glb import MeshData, SceneData, load_glb
 from regen3d_tpu.utils.image import save_image
 from regen3d_tpu.utils.meshproc import vertex_normals
@@ -212,13 +217,67 @@ def _ggx_shade(base, metallic, roughness, n, v, l, light_col, ambient_col):
     return direct + ambient
 
 
+@functools.partial(jax.jit, static_argnames=("image_hw",))
+def _screen_verts(verts, cam_R, cam_T, cam_f, cam_p, *, image_hw):
+    cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
+                 image_size=image_hw)
+    return cam.view_to_screen(cam.world_to_view(verts))
+
+
+@functools.partial(jax.jit, static_argnames=("image_hw", "white_bg"))
+def _shade_pixels(frag, verts, faces, normals, colors, uvs, tw, met, rgh,
+                  atlas, env_map, ambient_col, hdri_strength, hdri_rotation,
+                  cam_R, cam_T, cam_f, cam_p, *, image_hw, white_bg):
+    cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
+                 image_size=image_hw)
+    pos = interpolate_attributes(frag, faces, verts)
+    nrm = interpolate_attributes(frag, faces, normals)
+    col = interpolate_attributes(frag, faces, colors)
+    uv = interpolate_attributes(frag, faces, uvs)
+    w_tex = interpolate_attributes(frag, faces, tw)
+    metallic = interpolate_attributes(frag, faces, met)
+    roughness = interpolate_attributes(frag, faces, rgh)
+
+    tex_col = _bilinear_sample(atlas, uv)
+    base = col * (1 - w_tex) + tex_col * w_tex
+
+    n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+    eye = cam.center
+    vdir = eye - pos
+    vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True),
+                              1e-8)
+    n = n * jnp.sign(jnp.sum(n * vdir, -1, keepdims=True) + 1e-12)
+    ldir = (eye + jnp.asarray([0.0, 2.0, 0.0])) - pos
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True),
+                              1e-8)
+    shaded = _ggx_shade(base, metallic, roughness, n, vdir, ldir,
+                        jnp.asarray([0.9, 0.9, 0.9]), ambient_col)
+
+    # background: HDRI along camera rays (or white)
+    hit = frag.face_idx >= 0
+    h, w = image_hw
+    yy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
+    xx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
+    rays = cam.pixel_rays_world(xx, yy)
+    bg = _sample_equirect(env_map, rays, hdri_rotation) * hdri_strength
+    if white_bg:
+        bg = jnp.ones_like(bg)
+    img = jnp.where(hit[..., None], shaded, bg)
+    return img, hit
+
+
 def render_view(cam: Camera, scene: PackedScene, cfg: Optional[Config] = None,
                 chunk: int = 512, env: Optional[np.ndarray] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """One software-rendered frame (H, W, 3) linear + hit mask.
 
     Texel-space texture sampling (per-pixel UV interpolation + bilinear
-    atlas fetch), GGX PBR shading, HDRI environment background."""
+    atlas fetch), GGX PBR shading, HDRI environment background. Two
+    host-dispatched programs: the auto-binned hard rasterizer (scene meshes
+    are tens of thousands of faces — binning is the difference between
+    minutes and sub-second at render resolution) and the shading pass. All
+    scene arrays travel as ARGUMENTS (no closure constants → no per-scene
+    recompiles)."""
     hdri_strength = float(cfg.get("hdri_strength", 1.0)) if cfg else 1.0
     hdri_rotation = float(cfg.get("hdri_rotation", 0.0)) if cfg else 0.0
     white_bg = bool(cfg.get("hdri_white_bg", False)) if cfg else False
@@ -230,50 +289,19 @@ def render_view(cam: Camera, scene: PackedScene, cfg: Optional[Config] = None,
     # ambient irradiance: mean of the environment (one-bounce approximation)
     ambient_col = jnp.mean(env_map.reshape(-1, 3), axis=0) * hdri_strength
 
-    @jax.jit
-    def _render(verts, faces, normals, colors, uvs, tw, met, rgh):
-        vs = cam.view_to_screen(cam.world_to_view(verts))
-        frag = rasterize_hard(vs, faces, cam.image_size, chunk=chunk)
-        pos = interpolate_attributes(frag, faces, verts)
-        nrm = interpolate_attributes(frag, faces, normals)
-        col = interpolate_attributes(frag, faces, colors)
-        uv = interpolate_attributes(frag, faces, uvs)
-        w_tex = interpolate_attributes(frag, faces, tw)
-        metallic = interpolate_attributes(frag, faces, met)
-        roughness = interpolate_attributes(frag, faces, rgh)
-
-        tex_col = _bilinear_sample(atlas, uv)
-        base = col * (1 - w_tex) + tex_col * w_tex
-
-        n = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
-        eye = cam.center
-        vdir = eye - pos
-        vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True),
-                                  1e-8)
-        n = n * jnp.sign(jnp.sum(n * vdir, -1, keepdims=True) + 1e-12)
-        ldir = (eye + jnp.asarray([0.0, 2.0, 0.0])) - pos
-        ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True),
-                                  1e-8)
-        shaded = _ggx_shade(base, metallic, roughness, n, vdir, ldir,
-                            jnp.asarray([0.9, 0.9, 0.9]), ambient_col)
-
-        # background: HDRI along camera rays (or white)
-        hit = frag.face_idx >= 0
-        h, w = cam.image_size
-        yy = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5)
-        xx = (jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5)
-        rays = cam.pixel_rays_world(xx, yy)
-        bg = _sample_equirect(env_map, rays, hdri_rotation) * hdri_strength
-        if white_bg or env is None:
-            bg = jnp.ones_like(bg)
-        img = jnp.where(hit[..., None], shaded, bg)
-        return img, hit
-
-    img, hit = _render(jnp.asarray(scene.verts), jnp.asarray(scene.faces),
-                       jnp.asarray(scene.normals), jnp.asarray(scene.colors),
-                       jnp.asarray(scene.uvs), jnp.asarray(scene.tex_weight),
-                       jnp.asarray(scene.metallic),
-                       jnp.asarray(scene.roughness))
+    verts = jnp.asarray(scene.verts)
+    faces = jnp.asarray(scene.faces)
+    vs = _screen_verts(verts, cam.R, cam.T, cam.focal, cam.principal,
+                       image_hw=cam.image_size)
+    frag = rasterize_hard_auto(vs, faces, cam.image_size, chunk=chunk)
+    img, hit = _shade_pixels(
+        frag, verts, faces, jnp.asarray(scene.normals),
+        jnp.asarray(scene.colors), jnp.asarray(scene.uvs),
+        jnp.asarray(scene.tex_weight), jnp.asarray(scene.metallic),
+        jnp.asarray(scene.roughness), atlas, env_map, ambient_col,
+        jnp.float32(hdri_strength), jnp.float32(hdri_rotation),
+        cam.R, cam.T, cam.focal, cam.principal,
+        image_hw=cam.image_size, white_bg=bool(white_bg or env is None))
     return np.asarray(img), np.asarray(hit)
 
 

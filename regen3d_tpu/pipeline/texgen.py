@@ -27,6 +27,7 @@ path; random-init runs exercise the full contract in tests.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 from typing import List, Optional, Sequence, Tuple
 
@@ -131,12 +132,13 @@ def camera_feats(cams: Sequence) -> np.ndarray:
     return np.stack(feats).astype(np.float32)
 
 
-def ddim_sample(params, model: MultiviewTexGen, ref_latent: jnp.ndarray,
-                shape: Tuple[int, ...], steps: int, key,
-                geom_latent: jnp.ndarray, cam_feats: jnp.ndarray,
-                num_train_steps: int = 1000) -> jnp.ndarray:
-    """Jitted DDIM (eta=0) over a lax.scan: all views in one batch."""
-    v, h, w, c = shape
+@functools.lru_cache(maxsize=8)
+def _jitted_ddim_run(model: MultiviewTexGen, shape: Tuple[int, ...],
+                     steps: int, num_train_steps: int):
+    """One compiled DDIM program per (module, shape, steps) — the previous
+    per-call jit closed over ref_latent (constant-embedded) and recompiled
+    for every object."""
+    v = shape[0]
     view_ids = jnp.arange(v, dtype=jnp.int32)
     ts = jnp.linspace(num_train_steps - 1, 0, steps).astype(jnp.float32)
     betas = jnp.linspace(8.5e-4, 1.2e-2, num_train_steps)
@@ -147,7 +149,7 @@ def ddim_sample(params, model: MultiviewTexGen, ref_latent: jnp.ndarray,
                                    num_train_steps - 1)]
 
     @jax.jit
-    def run(params, key, geom_latent, cam_feats):
+    def run(params, key, ref_latent, geom_latent, cam_feats):
         x0 = jax.random.normal(key, shape, jnp.float32)
 
         def step(x, i):
@@ -164,7 +166,36 @@ def ddim_sample(params, model: MultiviewTexGen, ref_latent: jnp.ndarray,
         x, _ = jax.lax.scan(step, x0, jnp.arange(steps))
         return x
 
-    return run(params, key, geom_latent, cam_feats)
+    return run
+
+
+def ddim_sample(params, model: MultiviewTexGen, ref_latent: jnp.ndarray,
+                shape: Tuple[int, ...], steps: int, key,
+                geom_latent: jnp.ndarray, cam_feats: jnp.ndarray,
+                num_train_steps: int = 1000) -> jnp.ndarray:
+    """Jitted DDIM (eta=0) over a lax.scan: all views in one batch."""
+    run = _jitted_ddim_run(model, tuple(shape), int(steps),
+                           int(num_train_steps))
+    return run(params, key, ref_latent, geom_latent, cam_feats)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_vae(vae_cfg):
+    """Batched encode/decode programs per VAE config (shared by the RGB and
+    PBR paths; single images go through as batch-1)."""
+    vae = SDAutoencoderKL(vae_cfg)
+
+    @jax.jit
+    def encode(vae_params, x):          # (B, H, W, 3) → (B, h, w, C)
+        mean, _ = vae.apply(vae_params, x, method=SDAutoencoderKL.encode)
+        return mean * vae_cfg.scaling_factor
+
+    @jax.jit
+    def decode(vae_params, z):
+        return vae.apply(vae_params, z / vae_cfg.scaling_factor,
+                         method=SDAutoencoderKL.decode)
+
+    return encode, decode
 
 
 def _encode_geometry(vae, vae_params, vae_cfg, geom_maps, n_views, lh):
@@ -174,11 +205,7 @@ def _encode_geometry(vae, vae_params, vae_cfg, geom_maps, n_views, lh):
         return jnp.zeros((n_views, lh, lh, vae_cfg.latent_channels),
                          jnp.float32)
 
-    @jax.jit
-    def enc(vae_params, g):
-        mean, _ = vae.apply(vae_params, g, method=SDAutoencoderKL.encode)
-        return mean * vae_cfg.scaling_factor
-
+    enc, _ = _jitted_vae(vae_cfg)
     g = jnp.asarray(geom_maps, jnp.float32) * 2.0 - 1.0
     if g.shape[1] != lh * vae_down(vae_cfg):
         g = jax.image.resize(
@@ -209,12 +236,8 @@ def generate_views(
     img = jnp.asarray(ref_image, jnp.float32) / 255.0 * 2.0 - 1.0
     img = jax.image.resize(img, (r, r, 3), "bilinear")
 
-    @jax.jit
-    def encode(vae_params, img):
-        mean, _ = vae.apply(vae_params, img[None], method=SDAutoencoderKL.encode)
-        return mean[0] * vae_cfg.scaling_factor
-
-    ref_latent = encode(vae_params, img)
+    encode, decode = _jitted_vae(vae_cfg)
+    ref_latent = encode(vae_params, img[None])[0]
     lh = ref_latent.shape[0]  # the VAE's own downsampling sets the grid
     geom_latent = _encode_geometry(vae, vae_params, vae_cfg, geom_maps,
                                    cfg.num_views, lh)
@@ -225,12 +248,6 @@ def generate_views(
                           (cfg.num_views, lh, lh, vae_cfg.latent_channels),
                           cfg.steps, jax.random.PRNGKey(seed),
                           geom_latent, cams)
-
-    @jax.jit
-    def decode(vae_params, z):
-        return vae.apply(vae_params, z / vae_cfg.scaling_factor,
-                         method=SDAutoencoderKL.decode)
-
     out = decode(vae_params, latents)
     out = jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
     return np.asarray(jax.image.resize(
@@ -267,13 +284,8 @@ def generate_views_pbr(
     img = jnp.asarray(ref_image, jnp.float32) / 255.0 * 2.0 - 1.0
     img = jax.image.resize(img, (r, r, 3), "bilinear")
 
-    @jax.jit
-    def encode(vae_params, img):
-        mean, _ = vae.apply(vae_params, img[None],
-                            method=SDAutoencoderKL.encode)
-        return mean[0] * vae_cfg.scaling_factor
-
-    ref_latent = encode(vae_params, img)
+    encode, decode = _jitted_vae(vae_cfg)
+    ref_latent = encode(vae_params, img[None])[0]
     lh = ref_latent.shape[0]
     # geometry + camera conditioning shared by both material rings
     geom_one = _encode_geometry(vae, vae_params, vae_cfg, geom_maps, v, lh)
@@ -287,12 +299,6 @@ def generate_views_pbr(
         tex_params, model, ref_latent,
         (2 * v, lh, lh, vae_cfg.latent_channels), cfg.steps,
         jax.random.PRNGKey(seed), geom_latent, cams2)
-
-    @jax.jit
-    def decode(vae_params, z):
-        return vae.apply(vae_params, z / vae_cfg.scaling_factor,
-                         method=SDAutoencoderKL.decode)
-
     out = jnp.clip(decode(vae_params, latents) * 0.5 + 0.5, 0.0, 1.0)
     out = jax.image.resize(out, (2 * v, r, r, 3), "bilinear")
     return np.asarray(out[:v]), np.asarray(out[v:])

@@ -13,6 +13,7 @@ UNet) plugs in via models/unet.py once weights convert.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import List, Optional, Sequence, Tuple
 
@@ -25,6 +26,50 @@ from regen3d_tpu.ops.rasterize import rasterize_hard
 from regen3d_tpu.utils.meshproc import vertex_normals
 
 log = logging.getLogger(__name__)
+
+# Rows are padded to this quantum so objects with different vertex/face
+# counts land in a handful of compilation buckets. The previous design
+# defined a fresh jit per CALL that CLOSED OVER the mesh arrays — every
+# object recompiled a program with the mesh embedded as an XLA constant
+# (~25 s/object of pure compile on the phase-3 path).
+_ROW_BUCKET = 4096
+
+
+def _pad_rows(a: np.ndarray, fill=0) -> Tuple[np.ndarray, int]:
+    n = a.shape[0]
+    p = (-n) % _ROW_BUCKET
+    if p:
+        a = np.concatenate(
+            [a, np.full((p,) + a.shape[1:], fill, a.dtype)], axis=0)
+    return a, n
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("image_hw", "chunk", "depth_eps"))
+def _accumulate_view(v, f, fmask, pos, nrm, qmask, acc, wsum, img,
+                     cam_R, cam_T, cam_f, cam_p, *, image_hw, chunk,
+                     depth_eps):
+    """One view's occlusion-tested, facing-weighted color accumulation.
+
+    All mesh/query arrays arrive as ARGUMENTS (padded to _ROW_BUCKET
+    multiples), so one compilation serves every same-bucket object."""
+    h, w = image_hw
+    cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
+                 image_size=image_hw)
+    vs = cam.view_to_screen(cam.world_to_view(v))
+    frag = rasterize_hard(vs, f, image_hw, faces_mask=fmask, chunk=chunk)
+    uv, z = cam.project(pos)
+    xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
+    zbuf = frag.depth[yi, xi]
+    visible = (z > 0) & (z <= zbuf * (1 + depth_eps) + depth_eps)
+    inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    to_cam = cam.center - pos
+    to_cam = to_cam / jnp.maximum(
+        jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9)
+    facing = jnp.abs(jnp.sum(nrm * to_cam, axis=-1))
+    wgt = jnp.where(visible & inb & qmask, facing, 0.0)[:, None]
+    return acc + wgt * img[yi, xi], wsum + wgt
 
 
 def bake_point_colors(
@@ -39,39 +84,23 @@ def bake_point_colors(
 
     positions/normals: (N, 3); occluder: the (verts, faces) mesh used for
     the visibility z-test. Returns (colors (N, 3), coverage (N,))."""
-    v = jnp.asarray(occluder[0], jnp.float32)
-    f = jnp.asarray(occluder[1], jnp.int32)
-    pos = jnp.asarray(positions, jnp.float32)
-    nrm = jnp.asarray(normals, jnp.float32)
+    v, _ = _pad_rows(np.asarray(occluder[0], np.float32))
+    f, n_faces = _pad_rows(np.asarray(occluder[1], np.int32))
+    fmask = np.arange(len(f)) < n_faces
+    pos, n_q = _pad_rows(np.asarray(positions, np.float32))
+    nrm, _ = _pad_rows(np.asarray(normals, np.float32))
+    qmask = np.arange(len(pos)) < n_q
 
-    acc = jnp.zeros((len(positions), 3), jnp.float32)
-    wsum = jnp.zeros((len(positions), 1), jnp.float32)
-
-    @jax.jit
-    def one_view(acc, wsum, img, cam_R, cam_T, cam_f, cam_p):
-        cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
-                     image_size=img.shape[:2])
-        vs = cam.view_to_screen(cam.world_to_view(v))
-        frag = rasterize_hard(vs, f, img.shape[:2], chunk=chunk)
-        uv, z = cam.project(pos)
-        h, w = img.shape[:2]
-        xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
-        zbuf = frag.depth[yi, xi]
-        visible = (z > 0) & (z <= zbuf * (1 + depth_eps) + depth_eps)
-        inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
-        to_cam = cam.center - pos
-        to_cam = to_cam / jnp.maximum(
-            jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9)
-        facing = jnp.abs(jnp.sum(nrm * to_cam, axis=-1))
-        wgt = jnp.where(visible & inb, facing, 0.0)[:, None]
-        return acc + wgt * img[yi, xi], wsum + wgt
-
+    acc = jnp.zeros((len(pos), 3), jnp.float32)
+    wsum = jnp.zeros((len(pos), 1), jnp.float32)
     for cam, img in views:
-        acc, wsum = one_view(acc, wsum, jnp.asarray(img, jnp.float32),
-                             cam.R, cam.T, cam.focal, cam.principal)
-    colors = np.array(acc / jnp.maximum(wsum, 1e-9))
-    coverage = np.asarray(wsum)[:, 0]
+        img = np.asarray(img, np.float32)
+        acc, wsum = _accumulate_view(
+            v, f, fmask, pos, nrm, qmask, acc, wsum, jnp.asarray(img),
+            cam.R, cam.T, cam.focal, cam.principal,
+            image_hw=img.shape[:2], chunk=chunk, depth_eps=depth_eps)
+    colors = np.array(acc / jnp.maximum(wsum, 1e-9))[:n_q]
+    coverage = np.asarray(wsum)[:n_q, 0]
     if (coverage > 1e-6).any():
         colors[coverage <= 1e-6] = colors[coverage > 1e-6].mean(0)
     return np.clip(colors, 0, 1), coverage
@@ -123,19 +152,17 @@ def bake_texture_atlas(
     w0f = 1.0 - w1f - w2f
     bary = np.stack([w0f, w1f, w2f], -1).astype(np.float32)   # (T², 3)
 
-    positions = np.einsum("ftk,fkd->ftd", np.tile(bary[None], (F, 1, 1)), tri)
-    positions = positions.reshape(-1, 3)
+    positions = np.einsum("tk,fkd->ftd", bary, tri).reshape(-1, 3)
     normals = np.repeat(fn, T * T, axis=0)
     colors, _cov = bake_point_colors(positions, normals, (verts, faces), views)
     colors = colors.reshape(F, T, T, 3)
 
-    atlas = np.zeros((atlas_px, atlas_px, 3), np.float32)
-    for fi in range(F):
-        cy, cx = divmod(fi, G)
-        y0 = cy * cell + 1
-        x0 = cx * cell + 1
-        atlas[y0:y0 + T, x0:x0 + T] = colors[fi]
-    # simple gutter fill: replicate edges
+    # vectorized cell scatter: build (G·G) padded cells, tile into the atlas
+    cells = np.zeros((G * G, cell, cell, 3), np.float32)
+    cells[:F, 1:1 + T, 1:1 + T] = colors
+    atlas = (cells.reshape(G, G, cell, cell, 3)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(atlas_px, atlas_px, 3))
     img = Image.fromarray((np.clip(atlas, 0, 1) * 255).astype(np.uint8))
     buf = io.BytesIO()
     img.save(buf, format="PNG")
@@ -143,16 +170,16 @@ def bake_texture_atlas(
     # per-corner UVs: triangle corners at the cell's lattice corners
     new_verts = tri.reshape(-1, 3).astype(np.float32)
     new_faces = np.arange(3 * F, dtype=np.int32).reshape(F, 3)
+    fi = np.arange(F)
+    cy, cx = np.divmod(fi, G)
+    x0 = (cx * cell + 1) / atlas_px
+    y0 = (cy * cell + 1) / atlas_px
+    side = T / atlas_px
+    # corner order matches bary (w0 at (0,0), w1 at (1,0), w2 at (0,1))
     uvs = np.zeros((F, 3, 2), np.float32)
-    for fi in range(F):
-        cy, cx = divmod(fi, G)
-        x0 = (cx * cell + 1) / atlas_px
-        y0 = (cy * cell + 1) / atlas_px
-        side = T / atlas_px
-        # corner order matches bary (w0 at (0,0), w1 at (1,0), w2 at (0,1))
-        uvs[fi, 0] = (x0, y0)
-        uvs[fi, 1] = (x0 + side, y0)
-        uvs[fi, 2] = (x0, y0 + side)
+    uvs[:, 0] = np.stack([x0, y0], -1)
+    uvs[:, 1] = np.stack([x0 + side, y0], -1)
+    uvs[:, 2] = np.stack([x0, y0 + side], -1)
     return new_verts, new_faces, uvs.reshape(-1, 2), buf.getvalue()
 
 
@@ -172,47 +199,16 @@ def bake_vertex_colors(
 
     Returns (V, 4) RGBA float vertex colors.
     """
-    v = jnp.asarray(verts, jnp.float32)
-    f = jnp.asarray(faces, jnp.int32)
-    normals = jnp.asarray(vertex_normals(verts, faces))
-
-    acc = jnp.zeros((len(verts), 3), jnp.float32)
-    wsum = jnp.zeros((len(verts), 1), jnp.float32)
-
-    @jax.jit
-    def one_view(acc, wsum, img, cam_R, cam_T, cam_f, cam_p):
-        cam = Camera(R=cam_R, T=cam_T, focal=cam_f, principal=cam_p,
-                     image_size=img.shape[:2])
-        vs = cam.view_to_screen(cam.world_to_view(v))
-        frag = rasterize_hard(vs, f, img.shape[:2], chunk=chunk)
-        uv, z = cam.project(v)
-        h, w = img.shape[:2]
-        xi = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1)
-        zbuf = frag.depth[yi, xi]
-        visible = (z > 0) & (z <= zbuf * (1 + depth_eps) + depth_eps)
-        inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
-        # facing weight: vertex normal vs direction to camera
-        to_cam = cam.center - v
-        to_cam = to_cam / jnp.maximum(
-            jnp.linalg.norm(to_cam, axis=-1, keepdims=True), 1e-9)
-        facing = jnp.abs(jnp.sum(normals * to_cam, axis=-1))
-        wgt = jnp.where(visible & inb, facing, 0.0)[:, None]
-        color = img[yi, xi]
-        return acc + wgt * color, wsum + wgt
-
-    for cam, img in views:
-        acc, wsum = one_view(acc, wsum, jnp.asarray(img, jnp.float32),
-                             cam.R, cam.T, cam.focal, cam.principal)
-
-    colors = np.array(acc / jnp.maximum(wsum, 1e-9))  # writable host copy
-    covered = np.asarray(wsum)[:, 0] > 1e-6
+    normals = vertex_normals(verts, faces)
+    colors, coverage = bake_point_colors(verts, normals, (verts, faces),
+                                         views, depth_eps=depth_eps,
+                                         chunk=chunk)
+    covered = coverage > 1e-6
     if fallback is not None:
+        colors = np.array(colors)
         colors[~covered] = np.asarray(fallback)[~covered, :3]
-    else:
-        # fill uncovered vertices with the mean visible color
-        if covered.any():
-            colors[~covered] = colors[covered].mean(0)
+    # fallback=None: bake_point_colors already filled uncovered vertices
+    # with the mean visible color
     rgba = np.concatenate([np.clip(colors, 0, 1),
                            np.ones((len(colors), 1), np.float32)], -1)
     return rgba

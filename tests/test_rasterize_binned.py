@@ -179,3 +179,76 @@ class TestEdgeRaster:
         res = fit_poses(init, batch, cam, cfg)
         t = np.asarray(res.params.translation[0])
         np.testing.assert_allclose(t, np.asarray(gt_shift), atol=0.08)
+
+
+class TestHardBinned:
+    """rasterize_hard_binned / rasterize_hard_auto vs the dense z-buffer."""
+
+    def test_matches_dense(self, rng):
+        from regen3d_tpu.ops.rasterize import (
+            rasterize_hard,
+            rasterize_hard_binned,
+        )
+        cam = _cam()
+        verts, faces = _random_mesh(rng, n_faces=200)
+        vs = cam.view_to_screen(verts)
+        dense = rasterize_hard(vs, faces, (H, W), chunk=64)
+        binned = rasterize_hard_binned(vs, faces, (H, W), tile=32,
+                                       faces_per_tile=200)
+        np.testing.assert_array_equal(np.asarray(binned.face_idx),
+                                      np.asarray(dense.face_idx))
+        np.testing.assert_allclose(np.asarray(binned.depth),
+                                   np.asarray(dense.depth), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(binned.bary),
+                                   np.asarray(dense.bary), atol=1e-5)
+
+    def test_faces_mask(self, rng):
+        from regen3d_tpu.ops.rasterize import (
+            rasterize_hard,
+            rasterize_hard_binned,
+        )
+        cam = _cam()
+        verts, faces = _random_mesh(rng, n_faces=150)
+        mask = jnp.asarray(rng.random(150) > 0.4)
+        vs = cam.view_to_screen(verts)
+        dense = rasterize_hard(vs, faces, (H, W), faces_mask=mask, chunk=64)
+        binned = rasterize_hard_binned(vs, faces, (H, W), faces_mask=mask,
+                                       tile=32, faces_per_tile=150)
+        np.testing.assert_array_equal(np.asarray(binned.face_idx),
+                                      np.asarray(dense.face_idx))
+
+    def test_auto_dispatch_lossless(self, rng):
+        """auto path must pick a K >= the true overlap and match dense."""
+        from regen3d_tpu.ops.rasterize import (
+            max_faces_per_tile,
+            rasterize_hard,
+            rasterize_hard_auto,
+        )
+        cam = _cam()
+        verts, faces = _random_mesh(rng, n_faces=400)
+        vs = cam.view_to_screen(verts)
+        kmax = int(jax.jit(max_faces_per_tile,
+                           static_argnames=("image_hw", "tile"))(
+            vs, faces, image_hw=(H, W), tile=64))
+        assert 0 < kmax <= 400
+        auto = rasterize_hard_auto(vs, faces, (H, W))
+        dense = rasterize_hard(vs, faces, (H, W), chunk=64)
+        np.testing.assert_array_equal(np.asarray(auto.face_idx),
+                                      np.asarray(dense.face_idx))
+
+    def test_auto_fallback_unaligned(self, rng):
+        """Non-tile-aligned images fall back to the dense path."""
+        from regen3d_tpu.ops.rasterize import (
+            rasterize_hard,
+            rasterize_hard_auto,
+        )
+        hw = (96, 100)
+        cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
+                     focal=jnp.asarray([96.0, 96.0]),
+                     principal=jnp.asarray([50.0, 48.0]), image_size=hw)
+        verts, faces = _random_mesh(rng, n_faces=300)
+        vs = cam.view_to_screen(verts)
+        auto = rasterize_hard_auto(vs, faces, hw)
+        dense = rasterize_hard(vs, faces, hw, chunk=64)
+        np.testing.assert_array_equal(np.asarray(auto.face_idx),
+                                      np.asarray(dense.face_idx))
