@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -137,6 +138,12 @@ def estimate_normals(
         sign = jnp.sign(jnp.sum(normals * to_vp, axis=-1, keepdims=True))
         normals = normals * jnp.where(sign == 0, 1.0, sign)
     return normals
+
+
+# whole-op jit (cached per shape): phases 5 and 7 call this per scene with
+# 100k-point clouds — eager dispatch pays a tunnel round-trip per op
+estimate_normals = jax.jit(estimate_normals,
+                           static_argnames=("k", "chunk"))
 
 
 def pca_align(

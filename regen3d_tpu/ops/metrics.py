@@ -12,6 +12,7 @@ chamfer op.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -137,14 +138,40 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0
     return jnp.mean(s)
 
 
+# module-level jits (cached per image shape): phase 9 calls these per scene
+psnr = jax.jit(psnr)
+ssim = jax.jit(ssim)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _evaluate_clouds_jit(pred, gt, tau, chunk):
+    """ONE program, TWO NN passes (the naive composition above runs six —
+    chamfer/fscore/P-R each redo the same nearest-neighbor sweep — and
+    dispatches every metric eagerly)."""
+    d_pg, _ = nn_distances(pred, gt, chunk=chunk)   # squared
+    d_gp, _ = nn_distances(gt, pred, chunk=chunk)
+    r_pg = jnp.sqrt(d_pg)
+    r_gp = jnp.sqrt(d_gp)
+    precision = jnp.mean((r_pg < tau).astype(jnp.float32))
+    recall = jnp.mean((r_gp < tau).astype(jnp.float32))
+    return {
+        "chamfer_p3d": jnp.mean(d_pg) + jnp.mean(d_gp),
+        "chamfer_pcu": 0.5 * (jnp.mean(r_pg) + jnp.mean(r_gp)),
+        "hausdorff": jnp.maximum(jnp.max(r_pg), jnp.max(r_gp)),
+        "fscore": 2 * precision * recall
+        / jnp.maximum(precision + recall, 1e-12),
+        "precision_tau": precision,
+        "recall_tau": recall,
+        "precision_001": jnp.mean((r_pg < 0.01).astype(jnp.float32)),
+        "recall_001": jnp.mean((r_gp < 0.01).astype(jnp.float32)),
+        "volume_iou_bbox": volume_iou_bbox(pred, gt),
+        "wasserstein": wasserstein_flat(pred, gt),
+    }
+
+
 def evaluate_clouds(pred: jnp.ndarray, gt: jnp.ndarray,
                     tau: float = 0.1, chunk: int = 2048
                     ) -> Dict[str, float]:
     """The full 3D metric block of run_eval.py:133-168, one call."""
-    out = {}
-    out.update(chamfer_metrics(pred, gt, chunk))
-    out.update(fscore(pred, gt, tau, chunk))
-    out.update(precision_recall_at(pred, gt, 0.01, chunk))
-    out["volume_iou_bbox"] = volume_iou_bbox(pred, gt)
-    out["wasserstein"] = wasserstein_flat(pred, gt)
+    out = _evaluate_clouds_jit(pred, gt, jnp.float32(tau), chunk)
     return {k: float(v) for k, v in out.items()}
