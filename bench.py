@@ -483,6 +483,10 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
     gt = os.path.join(workdir, "gt_scene.glb")
     shutil.copy(art.combined_scene_glb, gt)
     cfg = cfg.with_overrides(GT_scene=gt)
+    # second (short) warmup with GT set: the alignment/eval programs
+    # (ICP, cloud metrics) only exist on the GT path — without this the
+    # first timed repeat pays their compiles
+    warm2 = run_scene()
 
     runs = []
     for _ in range(repeats):
@@ -507,6 +511,7 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
         "e2e_sec_per_phase": {str(p): round(s, 2)
                               for p, s in sorted(per_phase.items())},
         "e2e_sec_warmup_compile_pass": round(sum(warm.values()), 2),
+        "e2e_sec_warmup_gt_pass": round(sum(warm2.values()), 2),
         "e2e_n_objects": n_objects,
         "sec_per_object_assets": round(per_phase[3] / max(n_objects, 1), 2),
         "e2e_notes": "phase1=clustering fallback (SAM fwd measured in zoo, "

@@ -172,10 +172,22 @@ def sample(
     ts = timestep_shift(jnp.linspace(1.0, 0.0, num_steps + 1), shift)
     null = jnp.zeros_like(cond)
 
+    # classifier-free guidance as ONE 2B-batch forward (doubles the matmul
+    # batch on the MXU instead of two half-utilized applies). MIDI
+    # cross-instance mode keeps the two applies: its instance attention
+    # attends ACROSS the batch axis, which a [cond; null] concat would mix.
+    fuse_cfg = guidance_scale != 1.0 and not model.cfg.cross_instance
+
     def step(x, i):
         t_cur, t_next = ts[i], ts[i + 1]
         tt = jnp.full((b,), t_cur)
-        if guidance_scale != 1.0:
+        if fuse_cfg:
+            v2 = model.apply(params, jnp.concatenate([x, x], 0),
+                             jnp.concatenate([tt, tt], 0),
+                             jnp.concatenate([cond, null], 0))
+            v_c, v_u = v2[:b], v2[b:]
+            v = v_u + guidance_scale * (v_c - v_u)
+        elif guidance_scale != 1.0:
             v_c = model.apply(params, x, tt, cond)
             v_u = model.apply(params, x, tt, null)
             v = v_u + guidance_scale * (v_c - v_u)

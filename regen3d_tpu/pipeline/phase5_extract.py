@@ -68,6 +68,19 @@ def project_and_mask(
 _project_and_mask_jit = jax.jit(project_and_mask)
 
 
+def _pad_cloud(pts: np.ndarray, lo: int = 1024):
+    """Pad (N, 3) to the next power-of-two bucket → (padded jnp array,
+    valid-row mask). Bounds the number of compiled filter/normal programs
+    at log₂(max cloud size) instead of one per object."""
+    n = len(pts)
+    m = lo
+    while m < n:
+        m *= 2
+    out = np.zeros((m, 3), np.float32)
+    out[:n] = pts
+    return jnp.asarray(out), jnp.asarray(np.arange(m) < n)
+
+
 def run(cfg: Config) -> Dict[str, int]:
     """Extract per-object clouds for every finding. Returns {stem: n_points}."""
     art = Artifacts(cfg)
@@ -119,19 +132,24 @@ def run(cfg: Config) -> Dict[str, int]:
             log.warning("phase5: %s has %d points — skipped", stem, len(pts))
             counts[stem] = 0
             continue
-        jpts = jnp.asarray(pts)
-        keep = jnp.ones(len(pts), bool)
+        # pad to power-of-two buckets: per-object clouds have unique sizes,
+        # so unpadded shapes would compile a fresh filter/normal program
+        # for EVERY object of EVERY scene
+        jpts, pmask = _pad_cloud(pts)
+        keep = pmask
         if use_quant:
-            keep = keep & quantile_filter(jpts, q)
+            keep = keep & quantile_filter(jpts, q, mask=pmask)
         if use_db:
-            keep = keep & dbscan_largest_cluster(jpts, eps, min_pts)
-        pts = pts[np.asarray(keep)]
+            keep = keep & dbscan_largest_cluster(jpts, eps, min_pts,
+                                                 mask=pmask)
+        pts = pts[np.asarray(keep)[:len(pts)]]
         if len(pts) < 8:
             counts[stem] = 0
             continue
+        jpts2, pmask2 = _pad_cloud(pts)
+        kk = 30 if len(pts) > 30 else len(pts) - 1
         normals = np.asarray(estimate_normals(
-            jnp.asarray(pts), k=min(30, len(pts) - 1),
-            viewpoint=cam.center))
+            jpts2, k=kk, viewpoint=cam.center, mask=pmask2))[:len(pts)]
         save_ply(os.path.join(art.pointclouds_dir, f"{stem}.ply"), pts)
         save_ply(os.path.join(art.normals_dir, f"{stem}_normals.ply"), pts,
                  normals=normals)

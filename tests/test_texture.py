@@ -82,3 +82,32 @@ class TestAtlasBaking:
         h, w = tex.shape[:2]
         texel = tex[int(uv[1] * (h - 1)), int(uv[0] * (w - 1))]
         assert texel[0] > 0.7 and texel[1] < 0.4  # red-ish
+
+
+class TestBakePadding:
+    """Row-bucket padding in the shared accumulate-view program must not
+    leak padded queries or padded faces into the result."""
+
+    def test_bucket_edge_counts(self):
+        import jax.numpy as jnp
+        from regen3d_tpu.camera import lookat_camera
+        from regen3d_tpu.pipeline.texture import _ROW_BUCKET, bake_point_colors
+
+        rng = np.random.default_rng(3)
+        # two quads facing the camera; queries ON the front surface
+        verts = np.asarray([[-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]],
+                           np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        n = _ROW_BUCKET + 7          # force a pad on the query rows
+        uv = rng.random((n, 2)).astype(np.float32) * 1.6 - 0.8
+        pos = np.stack([uv[:, 0], uv[:, 1], np.full(n, 2.0, np.float32)], -1)
+        nrm = np.tile(np.asarray([[0, 0, -1]], np.float32), (n, 1))
+        img = np.full((64, 64, 3), 0.25, np.float32)
+        cam = lookat_camera(np.asarray([0, 0, 0], np.float32),
+                            np.asarray([0, 0, 2.0], np.float32),
+                            (64, 64), focal_px=48.0)
+        colors, cov = bake_point_colors(pos, nrm, (verts, faces), [(cam, img)])
+        assert colors.shape == (n, 3)
+        assert cov.shape == (n,)
+        assert (cov > 0).mean() > 0.5          # surface queries see the view
+        np.testing.assert_allclose(colors[cov > 0], 0.25, atol=1e-5)
