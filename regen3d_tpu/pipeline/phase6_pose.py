@@ -358,7 +358,17 @@ def run(cfg: Config) -> Dict[str, float]:
                  mesh.shape["dp"])
         result = fit_poses_sharded(init, batch, cam, fit_cfg, mesh)
     else:
-        result = fit_poses(init, batch, cam, fit_cfg)
+        # bucket the object axis (multiple of 4): scenes with 5/6/7 objects
+        # then share one compiled program instead of one per count
+        from regen3d_tpu.pipeline.pose_fit import FitResult, pad_batch_to
+        batch_p, init_p, _ = pad_batch_to(batch, init, 4)
+        r = fit_poses(init_p, batch_p, cam, fit_cfg)
+        result = FitResult(
+            params=jax.tree.map(lambda x: x[:b], r.params),
+            losses=r.losses[:b], num_iters=r.num_iters,
+            converged=r.converged[:b],
+            history=(r.history[:, :b] if r.history is not None
+                     and getattr(r.history, "ndim", 0) >= 2 else r.history))
     losses = np.asarray(result.losses)
 
     # --- apply final poses to the full-resolution meshes and export ---------
