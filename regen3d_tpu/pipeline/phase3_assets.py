@@ -19,6 +19,7 @@ plan in ROADMAP).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 import time
@@ -130,33 +131,60 @@ class AssetGenerator:
         process-per-image fan-out (2d_to_3d_models/run.py:108-194).
         ``extra_cond_tokens`` (B, T, cond_dim) are appended to the image
         condition sequence (e.g. the MIDI adapter's per-instance box
-        tokens)."""
+        tokens).
+
+        The whole path runs as ONE compiled XLA program per
+        (modules, workload-knobs, shapes) — eager dispatch of the 50-step
+        sampler through the remote-TPU tunnel costs ~50 ms/launch and was
+        measured at 47–78 s wall for a 1.3 s-device-time sample."""
         imgs = jnp.asarray(images, jnp.float32)
-        cond_tok = self.cond.apply(self.params["cond"], imgs)
-        if extra_cond_tokens is not None:
-            cond_tok = jnp.concatenate(
-                [cond_tok, jnp.asarray(extra_cond_tokens, cond_tok.dtype)],
-                axis=1)
-        lat = dit_sample(self.dit, self.params["dit"], key, cond_tok,
-                         num_steps=num_steps, guidance_scale=guidance)
-        if resolution % 4 == 0 and resolution >= 128:
+        extra = (None if extra_cond_tokens is None
+                 else jnp.asarray(extra_cond_tokens))
+        hierarchical = resolution % 4 == 0 and resolution >= 128
+        run = _jitted_generate(self.cond, self.dit, self.decoder,
+                               int(num_steps), float(guidance),
+                               int(resolution), int(chunk), hierarchical)
+        if hierarchical:
             # octree-style two-level decode (the reference's octree eval,
             # run.py:77-84): ~16× fewer SDF queries AND ~16× less
             # device→host traffic than the dense grid — both matter (the
             # dense 256³ f32 volume is 67 MB/object)
-            from regen3d_tpu.models.shapevae import (
-                assemble_volume,
-                decode_grid_hierarchical,
-            )
-            vol_c, cell_idx, fine = decode_grid_hierarchical(
-                self.decoder, self.params["dec"], lat,
-                resolution=resolution, chunk=chunk)
-            return assemble_volume(vol_c, cell_idx, fine, resolution)
-        vols = decode_grid(self.decoder, self.params["dec"],
-                           lat, resolution=resolution, chunk=chunk)
+            from regen3d_tpu.models.shapevae import assemble_volume
+            vol_c, cell_idx, fine = run(self.params, imgs, key, extra)
+            return assemble_volume(np.asarray(vol_c), np.asarray(cell_idx),
+                                   np.asarray(fine), resolution)
+        vols = run(self.params, imgs, key, extra)
         if vols.ndim == 3:
             vols = vols[None]
         return np.asarray(vols)
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_generate(cond_mod: nn.Module, dit_mod: nn.Module,
+                     dec_mod: nn.Module, num_steps: int, guidance: float,
+                     resolution: int, chunk: int, hierarchical: bool):
+    """One compiled cond→sample→decode program per (modules, knobs).
+
+    Cached at module level so repeated scenes (the fleet driver, the e2e
+    bench repeats) reuse the executable instead of re-tracing."""
+    from regen3d_tpu.models.shapevae import decode_grid_hierarchical
+
+    @jax.jit
+    def run(params, imgs, key, extra):
+        cond_tok = cond_mod.apply(params["cond"], imgs)
+        if extra is not None:
+            cond_tok = jnp.concatenate(
+                [cond_tok, extra.astype(cond_tok.dtype)], axis=1)
+        lat = dit_sample(dit_mod, params["dit"], key, cond_tok,
+                         num_steps=num_steps, guidance_scale=guidance)
+        if hierarchical:
+            return decode_grid_hierarchical(
+                dec_mod, params["dec"], lat, resolution=resolution,
+                chunk=chunk)
+        return decode_grid(dec_mod, params["dec"], lat,
+                           resolution=resolution, chunk=chunk)
+
+    return run
 
 
 def extract_and_clean(vol: np.ndarray, target_faces: Optional[int] = None):

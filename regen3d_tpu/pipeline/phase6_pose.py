@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -177,6 +178,7 @@ def run(cfg: Config) -> Dict[str, float]:
         log.warning("phase6: nothing to fit")
         return {}
 
+    t_stage = time.perf_counter()
     cam_full = camera_from_npz(art.camera_npz)
     orig_h, orig_w = cam_full.image_size
     # tile-aligned render size (binned rasterizer requirement)
@@ -236,6 +238,8 @@ def run(cfg: Config) -> Dict[str, float]:
     full_meshes = []   # original-resolution scenes for final export
     prep_info = []     # (mesh_c, scale0, y_off) per job — replayed at export
 
+    t_floor = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
     from PIL import Image
     for i, (stem, label, glb_path, pc_path, mask_path) in enumerate(jobs):
         scene = load_glb(glb_path)
@@ -316,6 +320,8 @@ def run(cfg: Config) -> Dict[str, float]:
         batch_np["target_points"][i] = tp
         batch_np["points_mask"][i] = pm
 
+    t_prep = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
     batch = ObjectBatch(
         **{k: jnp.asarray(v) for k, v in batch_np.items()},
         object_valid=jnp.ones(b, bool),
@@ -370,6 +376,8 @@ def run(cfg: Config) -> Dict[str, float]:
             history=(r.history[:, :b] if r.history is not None
                      and getattr(r.history, "ndim", 0) >= 2 else r.history))
     losses = np.asarray(result.losses)
+    t_fit = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
 
     # --- apply final poses to the full-resolution meshes and export ---------
     os.makedirs(art.glb_dir, exist_ok=True)
@@ -406,6 +414,9 @@ def run(cfg: Config) -> Dict[str, float]:
         _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam)
     if bool(cfg.get("debug_save", False)):
         _dump_silhouette_debug(cfg, jobs, batch, final_v, fit_cfg, cam)
+    log.info("phase6: stage breakdown — floor/cam %.1fs, per-object prep "
+             "%.1fs, fit %.1fs, export %.1fs (%d objects)",
+             t_floor, t_prep, t_fit, time.perf_counter() - t_stage, b)
     return out
 
 
