@@ -1,46 +1,60 @@
 """Benchmark suite: north-star end-to-end throughput + MXU-bound model MFU
-+ phase-6 pose-fit throughput/fidelity. Prints ONE JSON line.
++ phase-6 pose-fit throughput/fidelity.
 
-Sections (each independently recovered on TPU-worker drops):
+Structure (VERDICT r3 item 1 — the round-3 driver capture timed out with
+NO output because the single JSON line printed only at the very end):
 
-1. **MXU zoo** — the compute-bound models at reference workload shapes,
+  * **Incremental emission** — after EVERY completed section the full
+    cumulative result dict is printed as one JSON line (flushed). A
+    timeout anywhere still leaves the last complete line as evidence;
+    the final line always carries everything measured.
+  * **Time budget** — `--budget <sec>` (default $BENCH_BUDGET_S or 2850).
+    Each section is gated on the remaining budget vs a cost estimate;
+    skipped sections are recorded in `skipped_sections` with reasons.
+  * **Cheapest-first order**: pose → zoo → scene_step → fidelity → e2e.
+  * **e2e = ONE warmup + ≤2 timed repeats**, each repeat gated on the
+    remaining budget vs the previous pass's duration.
+
+Sections:
+
+1. **Pose fit** (phase-6 engine) — 8 objects, 300 Adam iters coarse-to-
+   fine (250 @ 256² + 50 @ 1024²), 2048 faces/2048 points, TWO programs
+   per fit; median of 3 runs + a dispatch-latency probe splitting tunnel
+   overhead from device time.
+
+2. **MXU zoo** — the compute-bound models at reference workload shapes,
    bf16: base ShapeDiT denoise step (512×64 latents, 1024 cond tokens),
    full VGGT-1B forward (518², 2 frames), SAM ViT-H encode (1024²). Each
-   timed as K forwards CHAINED inside one XLA program (a lax.fori_loop
-   whose carry feeds the next forward), so the remote-tunnel dispatch
-   latency (~50 ms/call on this image) is amortized and the number is
-   device time. FLOPs from XLA's cost model on the single-forward program;
-   MFU = flops / time / bf16 peak. Median over ≥3 program executions.
+   timed as K forwards CHAINED inside one XLA program (lax.fori_loop) so
+   the remote-tunnel dispatch latency (~50 ms/call) is amortized. FLOPs
+   from XLA's cost model; MFU = flops / time / bf16 peak.
 
-2. **Pose fit** (phase-6 engine) — 8 objects, 300 Adam iters coarse-to-
-   fine (250 @ 256² + 50 @ 1024²), 2048 faces/2048 points, now TWO
-   programs total per fit (the whole coarse leg is one program) instead of
-   round 2's eight 50-iter segments; median of 3 runs + spread + a
-   dispatch-latency probe that splits tunnel overhead from device time
-   (VERDICT r2 weak #1/#3). Fidelity probe vs the reference schedule
-   (sigma 5e-7, all 300 @ 1024²) unchanged.
+3. **scene_step** — the fused phases-4→6 serving program.
 
-3. **End-to-end scene** (the BASELINE.json north star) — the full
-   synthetic-bus pipeline: phases 1→3 and 5→9 executed in-proc on a
-   synthetic room with REFERENCE workload constants (DiT 50 steps,
-   256³ decode grid, 1024² pose fit ≤300 iters, ICP, software render,
-   metric suite + eval dirs), phase 3 on the FULL-SIZE random-init
-   generator. Phase 4 is composed: measured VGGT-1B device forward time
-   (from section 1) + the measured host export of an oracle
-   reconstruction (a random-init VGGT forward would poison the bus with
-   garbage cameras; its COMPUTE is what phase 4 costs and that is
-   measured). Phase 1 runs the weightless clustering fallback — the
-   SAM encode it will gain with weights is measured in section 1 and
-   added to the modeled number (`scenes_per_hour_modeled`). 3 timed
-   repeats after a warmup (compile) pass; per-phase medians in the JSON.
-   Also times the fused single-jit serving `scene_step` (phases 4→6 in
-   one program) at representative shapes.
+4. **Fidelity probe** — coarse-to-fine schedule vs the reference-fidelity
+   schedule (sigma 5e-7, all 300 @ 1024²) on STRUCTURED synthetic
+   furniture (closed subdivided boxes + a box-composite table, coherent
+   outward winding, ~16k faces — VERDICT r3 weak #6 replaced the random
+   triangle soup).
+
+5. **End-to-end scene** (the BASELINE.json north star) — phases 1→3 and
+   5→9 in-proc on a synthetic room with REFERENCE workload constants
+   (DiT 50 steps, 256³ decode grid, 1024² pose fit ≤300 iters, ICP,
+   software render, metric suite). Phase 3 uses the distilled shape
+   checkpoint when present (checkpoints/shape_distilled.npz), else the
+   full-size random-init generator. GT is the ANALYTICALLY KNOWN room
+   geometry (the oracle depth map triangulated), set before the warmup —
+   phase 7/9 align + score against true GT and the JSON carries
+   `e2e_chamfer_vs_true_gt` / `e2e_fscore_vs_true_gt` (VERDICT r3
+   missing #3 replaced the self-copied GT). Phase 4 is composed:
+   measured VGGT-1B device forward (section 2) + the host export of an
+   oracle reconstruction (a random-init VGGT forward would poison the
+   bus; its COMPUTE is measured in the zoo).
 
 Baselines (the reference publishes NO numbers — BASELINE.md):
   * pose fit: estimate range 10–40 s/object (A40, 3 jobs/GPU).
   * end-to-end: estimate range 10–20 min/scene on the reference's A40
-    (per-phase derivation in BASELINE.md); vs_baseline uses the midpoint,
-    vs_baseline_low/high carry the range.
+    (per-phase derivation in BASELINE.md); vs_baseline uses the midpoint.
 """
 
 from __future__ import annotations
@@ -66,6 +80,63 @@ PEAK_FLOPS = {
     "TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v5": 229.5e12,
     "TPU v5p": 229.5e12, "TPU v6 lite": 459e12, "TPU v6e": 459e12,
 }
+
+SHAPE_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "checkpoints", "shape_distilled.npz")
+
+
+# ===========================================================================
+# budget + incremental emission
+# ===========================================================================
+
+class Budget:
+    def __init__(self, total_s: float):
+        self.t0 = time.time()
+        self.total = total_s
+
+    def elapsed(self) -> float:
+        return time.time() - self.t0
+
+    def left(self) -> float:
+        return self.total - self.elapsed()
+
+    def has(self, est_s: float) -> bool:
+        return self.left() >= est_s
+
+
+def emit(results: dict, budget: Budget) -> None:
+    """Print the FULL cumulative result dict as one JSON line (flushed).
+
+    Called after every section so a timeout still leaves the last
+    complete line as the driver's evidence."""
+    out = dict(results)
+    out["elapsed_s"] = round(budget.elapsed(), 1)
+    sph = out.get("scenes_per_hour")
+    if sph is not None:
+        out.update({
+            "metric": ("end-to-end scene pipeline (phases 1-9, reference "
+                       "workload constants, synthetic bus, true-GT eval)"),
+            "value": sph,
+            "unit": "scenes/hour/chip",
+            "vs_baseline": round(sph * REF_MIN_PER_SCENE / 60.0, 3),
+            "baseline_range_min_per_scene": list(REF_MIN_PER_SCENE_RANGE),
+            "vs_baseline_low": round(sph * REF_MIN_PER_SCENE_RANGE[0] / 60.0, 3),
+            "vs_baseline_high": round(sph * REF_MIN_PER_SCENE_RANGE[1] / 60.0, 3),
+        })
+    else:
+        v = out.get("pose_fit_objects_per_sec", 0.0)
+        out.update({
+            "metric": ("pose-fit objects/sec (B=8, 300 Adam iters "
+                       "coarse-to-fine 256->1024^2 silhouette, 2048 faces, "
+                       "2048 pts)"),
+            "value": v,
+            "unit": "objects/sec",
+            "vs_baseline": round(v * REF_SEC_PER_OBJECT, 3),
+            "baseline_range_s_per_object": list(REF_SEC_PER_OBJECT_RANGE),
+            "vs_baseline_low": round(v * REF_SEC_PER_OBJECT_RANGE[0], 3),
+            "vs_baseline_high": round(v * REF_SEC_PER_OBJECT_RANGE[1], 3),
+        })
+    print(json.dumps(out), flush=True)
 
 
 def _sync(x):
@@ -102,7 +173,7 @@ def _dispatch_latency(n: int = 6) -> float:
 
 
 # ===========================================================================
-# section 1: MXU zoo
+# section: MXU zoo
 # ===========================================================================
 
 def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4):
@@ -187,7 +258,7 @@ def bench_zoo(results: dict, peak: float) -> None:
 
 
 # ===========================================================================
-# section 2: pose fit (phase-6 engine)
+# section: pose fit (phase-6 engine)
 # ===========================================================================
 
 B = 8
@@ -199,7 +270,6 @@ COARSE_ITERS = 250    # one program (≈3 s device — far under the watchdog)
 FINE_ITERS = 50       # one program
 
 FID_B = 2
-FID_FACES = 16384
 FID_SEG = 10
 
 
@@ -215,22 +285,103 @@ def _random_blobs(rng, b, n_faces):
     return np.stack(verts), np.stack(faces)
 
 
-def _gt_masks_device(verts_np, faces_np, cam, img):
+def _subdivided_box(center, half, n) -> tuple:
+    """Closed axis-aligned box, each face an n×n quad grid (2n² tris),
+    outward winding. Returns (verts (V,3) f32, faces (12n², 3) i32)."""
+    cx, cy, cz = center
+    hx, hy, hz = half
+    verts, faces = [], []
+    lin = np.linspace(-1.0, 1.0, n + 1)
+    # six faces: (fixed axis, sign, u axis, v axis)
+    for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+        u_ax, v_ax = [a for a in range(3) if a != axis]
+        uu, vv = np.meshgrid(lin, lin, indexing="ij")
+        grid = np.zeros((n + 1, n + 1, 3), np.float32)
+        grid[..., axis] = sign
+        grid[..., u_ax] = uu
+        grid[..., v_ax] = vv
+        base = sum(len(v) for v in verts)
+        verts.append(grid.reshape(-1, 3))
+        idx = np.arange((n + 1) * (n + 1)).reshape(n + 1, n + 1) + base
+        a = idx[:-1, :-1].ravel()
+        b2 = idx[1:, :-1].ravel()
+        c = idx[1:, 1:].ravel()
+        d = idx[:-1, 1:].ravel()
+        quad = np.stack([np.stack([a, b2, c], -1), np.stack([a, c, d], -1)], 1)
+        f = quad.reshape(-1, 3)
+        # outward winding: normal of (a,b,c) must point along sign*axis
+        tri = np.concatenate([v for v in verts])[f]
+        nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        flip = nrm[:, axis] * sign < 0
+        f[flip] = f[flip][:, [0, 2, 1]]
+        faces.append(f)
+    v = np.concatenate(verts) * np.asarray([hx, hy, hz], np.float32) \
+        + np.asarray([cx, cy, cz], np.float32)
+    return v.astype(np.float32), np.concatenate(faces).astype(np.int32)
+
+
+def _furniture_meshes(rng, b: int):
+    """Structured synthetic furniture for the fidelity probe (VERDICT r3
+    weak #6): closed subdivided boxes with coherent outward winding,
+    ~16k faces. Alternates a cabinet (one box) and a table (top slab +
+    4 legs). Meshes are padded to a common face count with a mask."""
+    items = []
+    for i in range(b):
+        if i % 2 == 0:
+            # cabinet: single box, 6·37²·2 = 16428 faces
+            half = 0.25 + 0.15 * rng.random(3).astype(np.float32)
+            items.append([_subdivided_box((0, 0, 0), half, 37)])
+        else:
+            # table: top + 4 legs, each box 6·16²·2 = 3072 → 15360 faces
+            top_h = 0.03 + 0.02 * rng.random()
+            w, d = 0.35 + 0.1 * rng.random(2)
+            leg = 0.03 + 0.01 * rng.random()
+            h = 0.3 + 0.1 * rng.random()
+            parts = [_subdivided_box((0, h, 0), (w, top_h, d), 16)]
+            for sx in (-1, 1):
+                for sz in (-1, 1):
+                    parts.append(_subdivided_box(
+                        (sx * (w - leg), h / 2, sz * (d - leg)),
+                        (leg, h / 2, leg), 16))
+            items.append(parts)
+    merged = []
+    for parts in items:
+        vs = np.concatenate([p[0] for p in parts])
+        offs = np.cumsum([0] + [len(p[0]) for p in parts[:-1]])
+        fs = np.concatenate([p[1] + o for p, o in zip(parts, offs)])
+        merged.append((vs, fs))
+    max_v = max(len(v) for v, _ in merged)
+    max_f = max(len(f) for _, f in merged)
+    verts = np.zeros((b, max_v, 3), np.float32)
+    faces = np.zeros((b, max_f, 3), np.int32)
+    vmask = np.zeros((b, max_v), bool)
+    fmask = np.zeros((b, max_f), bool)
+    for i, (v, f) in enumerate(merged):
+        verts[i, :len(v)] = v
+        faces[i, :len(f)] = f
+        vmask[i, :len(v)] = True
+        fmask[i, :len(f)] = True
+    return verts, faces, vmask, fmask
+
+
+def _gt_masks_device(verts_np, faces_np, cam, img, fmask=None):
     from regen3d_tpu.ops.rasterize import rasterize_hard
 
     masks = []
     for i in range(len(verts_np)):
         vs = cam.view_to_screen(cam.world_to_view(jnp.asarray(verts_np[i])))
+        fm = None if fmask is None else jnp.asarray(fmask[i])
         frag = rasterize_hard(vs, jnp.asarray(faces_np[i]), (img, img),
-                              chunk=512)
+                              faces_mask=fm, chunk=512)
         masks.append(np.asarray((frag.face_idx >= 0).astype(np.float32)))
     return np.stack(masks)
 
 
-def _surface_samples(rng, verts_np, faces_np, n_points):
+def _surface_samples(rng, verts_np, faces_np, n_points, fmask=None):
     pts = np.zeros((len(verts_np), n_points, 3), np.float32)
     for i, v in enumerate(verts_np):
-        tri3 = v[faces_np[i]]
+        f = faces_np[i] if fmask is None else faces_np[i][fmask[i]]
+        tri3 = v[f]
         areas = 0.5 * np.linalg.norm(
             np.cross(tri3[:, 1] - tri3[:, 0], tri3[:, 2] - tri3[:, 0]),
             axis=-1)
@@ -243,24 +394,29 @@ def _surface_samples(rng, verts_np, faces_np, n_points):
     return pts
 
 
-def _make_problem(rng, b, n_faces, n_points, img):
+def _make_problem(rng, b, n_points, img, meshes=None, n_faces=N_FACES):
     from regen3d_tpu.camera import Camera
     from regen3d_tpu.pipeline.pose_fit import ObjectBatch, PoseParams
 
-    verts, faces = _random_blobs(rng, b, n_faces)
+    if meshes is None:
+        verts, faces = _random_blobs(rng, b, n_faces)
+        vmask = np.ones(verts.shape[:2], bool)
+        fmask = np.ones(faces.shape[:2], bool)
+    else:
+        verts, faces, vmask, fmask = meshes
     gt_shift = rng.normal(size=(b, 3)).astype(np.float32) * 0.2 + [0, 0, 2.5]
     cam = Camera(R=jnp.eye(3), T=jnp.zeros(3),
                  focal=jnp.asarray([float(img), float(img)]),
                  principal=jnp.asarray([img / 2.0, img / 2.0]),
                  image_size=(img, img))
     gt_verts = verts + gt_shift[:, None, :]
-    masks = _gt_masks_device(gt_verts, faces, cam, img)
-    pts = _surface_samples(rng, gt_verts, faces, n_points)
+    masks = _gt_masks_device(gt_verts, faces, cam, img, fmask=fmask)
+    pts = _surface_samples(rng, gt_verts, faces, n_points, fmask=fmask)
     batch = ObjectBatch(
         verts=jnp.asarray(verts),
-        verts_mask=jnp.ones(verts.shape[:2], bool),
+        verts_mask=jnp.asarray(vmask),
         faces=jnp.asarray(faces),
-        faces_mask=jnp.ones(faces.shape[:2], bool),
+        faces_mask=jnp.asarray(fmask),
         target_mask=jnp.asarray(masks),
         target_points=jnp.asarray(pts),
         points_mask=jnp.ones(pts.shape[:2], bool),
@@ -306,7 +462,8 @@ def _render_final(params, batch, cam, img):
     outs = []
     for i in range(v.shape[0]):
         vs = cam.view_to_screen(cam.world_to_view(v[i]))
-        frag = rasterize_hard(vs, batch.faces[i], (img, img), chunk=512)
+        frag = rasterize_hard(vs, batch.faces[i], (img, img),
+                              faces_mask=batch.faces_mask[i], chunk=512)
         outs.append(np.asarray((frag.face_idx >= 0).astype(np.float32)))
     return np.stack(outs)
 
@@ -315,7 +472,7 @@ def bench_pose_fit(results: dict, peak: float) -> None:
     from regen3d_tpu.pipeline.pose_fit import fit_poses
 
     rng = np.random.default_rng(1234567)
-    batch, cam, init, _gt = _make_problem(rng, B, N_FACES, N_POINTS, IMG)
+    batch, cam, init, _gt = _make_problem(rng, B, N_POINTS, IMG)
     COARSE = 256
     batch_c, cam_c = _coarse(batch, cam, IMG, COARSE)
     cfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS)
@@ -357,10 +514,17 @@ def bench_pose_fit(results: dict, peak: float) -> None:
         "vs_baseline_pose_fit": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
     })
 
-    # ---- fidelity probe: fast schedule vs reference-fidelity schedule -----
+
+def bench_fidelity(results: dict) -> None:
+    """Fast coarse-to-fine schedule vs the reference schedule on
+    structured furniture meshes (~16k faces, closed, outward-wound)."""
+    from regen3d_tpu.pipeline.pose_fit import fit_poses
+
     rng2 = np.random.default_rng(7654321)
-    fbatch, fcam, finit, fgt = _make_problem(rng2, FID_B, FID_FACES,
-                                             N_POINTS, IMG)
+    meshes = _furniture_meshes(rng2, FID_B)
+    fbatch, fcam, finit, fgt = _make_problem(rng2, FID_B, N_POINTS, IMG,
+                                             meshes=meshes)
+    COARSE = 256
     fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
     fcfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS, k=128)
     fcfg_f = _make_cfg((IMG, IMG), 1e-5, FID_SEG, k=128)
@@ -382,11 +546,14 @@ def bench_pose_fit(results: dict, peak: float) -> None:
         "fidelity_iou_fast": round(iou_fast, 4),
         "fidelity_iou_reference_schedule": round(iou_ref, 4),
         "fidelity_ratio": round(iou_fast / max(iou_ref, 1e-9), 4),
+        "fidelity_probe": "B=2 structured furniture (subdivided closed "
+                          "boxes + box-composite table, ~16k faces); ref "
+                          "schedule = sigma 5e-7, all 300 @ 1024^2",
     })
 
 
 # ===========================================================================
-# section 3: end-to-end scene pipeline (the north star)
+# section: end-to-end scene pipeline (the north star)
 # ===========================================================================
 
 def _make_room(path: str) -> None:
@@ -423,7 +590,51 @@ def _oracle_frames(room_png: str):
     return {"room.png": dict(fr), "empty_room.png": dict(fr)}
 
 
-def bench_e2e(results: dict, repeats: int = 3) -> None:
+def _make_true_gt_glb(frames: dict, path: str) -> None:
+    """Triangulate the ORACLE depth map into a true-GT scene mesh.
+
+    The synthetic room's geometry is analytically known (the oracle
+    depth); grid-triangulating it gives an independent GT_scene for the
+    phase-7 alignment + phase-9 metric path — replacing the self-copied
+    GT of rounds ≤3 (VERDICT r3 missing #3). Cells spanning a depth
+    discontinuity are dropped so objects do not grow phantom skirts."""
+    from regen3d_tpu.utils.glb import MeshData, SceneData, save_glb
+
+    fr = frames["room.png"]
+    h, w = fr["height"], fr["width"]
+    pts = fr["points"].reshape(h, w, 3).astype(np.float32)
+    depth = pts[..., 2]
+    idx = np.arange(h * w).reshape(h, w)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    z = np.stack([depth[:-1, :-1], depth[1:, :-1],
+                  depth[1:, 1:], depth[:-1, 1:]], 0)
+    keep = (z.max(0) - z.min(0)).ravel() < 0.15
+    faces = np.concatenate([
+        np.stack([a, b, c], -1)[keep],
+        np.stack([a, c, d], -1)[keep]]).astype(np.int32)
+    save_glb(path, SceneData(meshes=[MeshData(
+        name="gt_room", vertices=pts.reshape(-1, 3), faces=faces)]))
+
+
+def _load_shape_generator():
+    """Distilled shape checkpoint when present, else full-size random."""
+    from regen3d_tpu.pipeline.phase3_assets import AssetGenerator
+
+    if os.path.exists(SHAPE_CKPT):
+        try:
+            from regen3d_tpu.pipeline.shape_distill import load_generator
+            return load_generator(SHAPE_CKPT), "distilled"
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: shape checkpoint load failed ({e}); random init",
+                  file=sys.stderr)
+    return AssetGenerator.random_init(jax.random.PRNGKey(0), tiny=False), \
+        "random_init"
+
+
+def bench_e2e(results: dict, budget: Budget, max_repeats: int = 2) -> None:
     from regen3d_tpu.artifacts import Artifacts
     from regen3d_tpu.config import default_config
     from regen3d_tpu.pipeline import (
@@ -437,11 +648,13 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
         phase8_render,
         phase9_eval,
     )
-    from regen3d_tpu.pipeline.phase3_assets import AssetGenerator
 
     workdir = tempfile.mkdtemp(prefix="bench_e2e_")
     room = os.path.join(workdir, "room.png")
     _make_room(room)
+    frames = _oracle_frames(room)
+    gt = os.path.join(workdir, "gt_scene.glb")
+    _make_true_gt_glb(frames, gt)
     out_root = os.path.join(workdir, "output")
     cfg = default_config(
         out_root, input_image=room,
@@ -452,10 +665,13 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
         write_fit_gifs=False, interactive_edit=False,
         remesh=True, remesh_target_num_faces=2048,
         blender_render_samples=8,
+        GT_scene=gt,
     )
     art = Artifacts(cfg)
-    generator = AssetGenerator.random_init(jax.random.PRNGKey(0), tiny=False)
-    frames = _oracle_frames(room)
+    generator, gen_kind = _load_shape_generator()
+    results["e2e_shape_generator"] = gen_kind
+
+    eval_metrics: dict = {}
 
     def run_scene():
         t = {}
@@ -475,50 +691,75 @@ def bench_e2e(results: dict, repeats: int = 3) -> None:
         timed(6, lambda: phase6_pose.run(cfg))
         timed(7, lambda: phase7_assemble.run(cfg))
         timed(8, lambda: phase8_render.run(cfg))
-        timed(9, lambda: phase9_eval.run(cfg))
+        timed(9, lambda: eval_metrics.update(phase9_eval.run(cfg)))
         return t
 
-    # warmup pass: compiles every program + provides a GT scene for 7/9
+    # ONE warmup pass: compiles every program (GT is known analytically and
+    # set from the start, so the alignment/eval programs compile here too)
+    t0 = time.time()
     warm = run_scene()
-    gt = os.path.join(workdir, "gt_scene.glb")
-    shutil.copy(art.combined_scene_glb, gt)
-    cfg = cfg.with_overrides(GT_scene=gt)
-    # second (short) warmup with GT set: the alignment/eval programs
-    # (ICP, cloud metrics) only exist on the GT path — without this the
-    # first timed repeat pays their compiles
-    warm2 = run_scene()
+    warm_s = time.time() - t0
+    results["e2e_sec_warmup_compile_pass"] = round(sum(warm.values()), 2)
+    if "chamfer_pcu" in eval_metrics:
+        results["e2e_chamfer_vs_true_gt"] = round(
+            eval_metrics["chamfer_pcu"], 5)
+        results["e2e_fscore_vs_true_gt"] = round(
+            eval_metrics.get("fscore", 0.0), 4)
+    emit(results, budget)
 
     runs = []
-    for _ in range(repeats):
+    for _ in range(max_repeats):
+        last = runs[-1] if runs else warm
+        est = 1.1 * sum(last.values())
+        if not budget.has(est):
+            results["e2e_repeats_skipped"] = (
+                f"budget: {budget.left():.0f}s left < est {est:.0f}s")
+            break
         runs.append(run_scene())
+        warm_s = None  # noqa: F841
 
     vggt_fwd_s = results.get("vggt_ms_per_forward", 0.0) / 1e3
-    per_phase = {p: float(np.median([r[p] for r in runs]))
-                 for p in runs[0]}
-    per_phase[4] += vggt_fwd_s
-    total = sum(per_phase.values())
-    n_objects = len(art.list_assets()) if os.path.isdir(art.assets_root) else 0
     sam_s = results.get("sam_ms_per_forward", 0.0) / 1e3
-    total_modeled = total + sam_s      # phase 1 with weights adds one encode
-
-    sph = 3600.0 / total
-    results.update({
-        "scenes_per_hour": round(sph, 3),
-        "scenes_per_hour_modeled": round(3600.0 / total_modeled, 3),
-        "e2e_sec_total_median": round(total, 2),
-        "e2e_sec_total_runs": [round(sum(r.values()) + vggt_fwd_s, 2)
-                               for r in runs],
-        "e2e_sec_per_phase": {str(p): round(s, 2)
-                              for p, s in sorted(per_phase.items())},
-        "e2e_sec_warmup_compile_pass": round(sum(warm.values()), 2),
-        "e2e_sec_warmup_gt_pass": round(sum(warm2.values()), 2),
-        "e2e_n_objects": n_objects,
-        "sec_per_object_assets": round(per_phase[3] / max(n_objects, 1), 2),
-        "e2e_notes": "phase1=clustering fallback (SAM fwd measured in zoo, "
-                     "added to modeled); phase2=offline inpainter (Gemini "
-                     "is an external API); phase4=oracle export host time "
-                     "+ measured VGGT-1B device forward",
-    })
+    n_objects = len(art.list_assets()) if os.path.isdir(art.assets_root) else 0
+    results["e2e_n_objects"] = n_objects
+    results["e2e_timed_repeats"] = len(runs)
+    if runs:
+        per_phase = {p: float(np.median([r[p] for r in runs]))
+                     for p in runs[0]}
+        per_phase[4] += vggt_fwd_s
+        total = sum(per_phase.values())
+        total_modeled = total + sam_s   # phase 1 with weights adds one encode
+        results.update({
+            "scenes_per_hour": round(3600.0 / total, 3),
+            "scenes_per_hour_modeled": round(3600.0 / total_modeled, 3),
+            "e2e_sec_total_median": round(total, 2),
+            "e2e_sec_total_runs": [round(sum(r.values()) + vggt_fwd_s, 2)
+                                   for r in runs],
+            "e2e_sec_per_phase": {str(p): round(s, 2)
+                                  for p, s in sorted(per_phase.items())},
+            "sec_per_object_assets": round(per_phase[3] / max(n_objects, 1),
+                                           2),
+        })
+    else:
+        # no timed repeat fit in the budget: report the warmup pass
+        # (includes ALL compiles — a lower bound on throughput)
+        total = sum(warm.values()) + vggt_fwd_s
+        results.update({
+            "scenes_per_hour_incl_compile": round(3600.0 / total, 3),
+            "e2e_sec_per_phase_warmup": {str(p): round(s, 2)
+                                         for p, s in sorted(warm.items())},
+        })
+    if "chamfer_pcu" in eval_metrics:
+        results["e2e_chamfer_vs_true_gt"] = round(
+            eval_metrics["chamfer_pcu"], 5)
+        results["e2e_fscore_vs_true_gt"] = round(
+            eval_metrics.get("fscore", 0.0), 4)
+    results["e2e_notes"] = (
+        "phase1=clustering fallback (SAM fwd measured in zoo, added to "
+        "modeled); phase2=offline inpainter (Gemini is an external API); "
+        "phase4=oracle export host time + measured VGGT-1B device forward; "
+        "GT=analytic room mesh (true GT, not self-copy); "
+        f"phase3 generator={gen_kind}")
     shutil.rmtree(workdir, ignore_errors=True)
 
 
@@ -570,7 +811,8 @@ def bench_scene_step(results: dict) -> None:
 
 # ===========================================================================
 
-def _with_recovery(fn, *args, attempts: int = 3, label: str = ""):
+def _with_recovery(fn, *args, attempts: int = 3, label: str = "",
+                   budget: Budget = None):
     import traceback
 
     for i in range(attempts):
@@ -579,53 +821,49 @@ def _with_recovery(fn, *args, attempts: int = 3, label: str = ""):
             return
         except Exception:
             traceback.print_exc(file=sys.stderr)
-            if i + 1 < attempts:
+            if i + 1 < attempts and (budget is None or budget.has(120)):
                 print(f"bench section '{label}' attempt {i + 1} failed; "
                       "retrying in 75 s", file=sys.stderr)
                 time.sleep(75)
-    print(f"bench section '{label}' FAILED after {attempts} attempts",
-          file=sys.stderr)
+            else:
+                break
+    print(f"bench section '{label}' FAILED", file=sys.stderr)
 
 
 def main() -> None:
     only = set((sys.argv[sys.argv.index("--only") + 1].split(","))
                if "--only" in sys.argv else
-               ["zoo", "pose", "e2e", "scene_step"])
+               ["pose", "zoo", "scene_step", "fidelity", "e2e"])
+    budget_s = float(sys.argv[sys.argv.index("--budget") + 1]
+                     if "--budget" in sys.argv
+                     else os.environ.get("BENCH_BUDGET_S", "2850"))
+    budget = Budget(budget_s)
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind)
-    results: dict = {"device_kind": kind, "peak_flops_bf16": peak}
+    results: dict = {"device_kind": kind, "peak_flops_bf16": peak,
+                     "budget_s": budget_s, "skipped_sections": {}}
 
-    if "zoo" in only:
-        _with_recovery(bench_zoo, results, peak, label="zoo")
-    if "pose" in only:
-        _with_recovery(bench_pose_fit, results, peak, label="pose")
-    if "e2e" in only:
-        _with_recovery(bench_e2e, results, label="e2e")
-    if "scene_step" in only:
-        _with_recovery(bench_scene_step, results, label="scene_step")
+    # (section, cost estimate s, runner) — cheapest first so a timeout
+    # still leaves the maximum number of captured sections
+    sections = [
+        ("pose", 360, lambda: bench_pose_fit(results, peak)),
+        ("zoo", 600, lambda: bench_zoo(results, peak)),
+        ("scene_step", 300, lambda: bench_scene_step(results)),
+        ("fidelity", 420, lambda: bench_fidelity(results)),
+        ("e2e", 900, lambda: bench_e2e(results, budget)),
+    ]
+    for name, est, runner in sections:
+        if name not in only:
+            continue
+        if not budget.has(est):
+            results["skipped_sections"][name] = (
+                f"budget: {budget.left():.0f}s left < est {est}s")
+            emit(results, budget)
+            continue
+        _with_recovery(runner, label=name, budget=budget)
+        emit(results, budget)
 
-    sph = results.get("scenes_per_hour")
-    if sph is not None:
-        value = sph
-        unit = "scenes/hour/chip"
-        metric = ("end-to-end scene pipeline (phases 1-9, reference "
-                  "workload constants, synthetic bus)")
-        vs = sph * REF_MIN_PER_SCENE / 60.0
-        results.update({
-            "baseline_range_min_per_scene": list(REF_MIN_PER_SCENE_RANGE),
-            "vs_baseline_low": round(sph * REF_MIN_PER_SCENE_RANGE[0] / 60.0,
-                                     3),
-            "vs_baseline_high": round(sph * REF_MIN_PER_SCENE_RANGE[1] / 60.0,
-                                      3),
-        })
-    else:
-        value = results.get("pose_fit_objects_per_sec", 0.0)
-        unit = "objects/sec"
-        metric = "pose-fit fallback (e2e section failed)"
-        vs = value * REF_SEC_PER_OBJECT
-
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": round(vs, 3), **results}))
+    emit(results, budget)
 
 
 if __name__ == "__main__":
