@@ -61,3 +61,60 @@ class TestSAM:
         m2, _ = model.apply(params, img, jnp.zeros((1, 1, 2)),
                             -jnp.ones((1, 1)), boxes2)
         assert float(jnp.abs(m1 - m2).max()) > 1e-6
+
+
+class _CountingSam:
+    """Wrapper that counts SAM.encode applies (serving-path contract)."""
+
+    def __init__(self, sam):
+        self.sam = sam
+        self.cfg = sam.cfg
+        self.encodes = 0
+
+    def apply(self, params, *args, method=None, **kw):
+        if method is SAM.encode:
+            self.encodes += 1
+        return self.sam.apply(params, *args, method=method, **kw)
+
+
+class TestPhase1SamServing:
+    """Phase-1 SAM serving contract (VERDICT r3 item 4): ONE ViT-H encode
+    per image regardless of detection count, and the reference's two-pass
+    point-prompt mode (boxes -> masks -> points -> second pass) actually
+    changes the output."""
+
+    @pytest.fixture()
+    def scene(self, tiny_sam):
+        cfg, model, params = tiny_sam
+        rng = np.random.default_rng(7)
+        image = np.full((96, 128, 3), 220, np.uint8)
+        image[20:60, 10:50] = [200, 30, 30]
+        image[30:80, 70:120] = [30, 30, 200]
+        return cfg, _CountingSam(model), params, image
+
+    def _run(self, counting, params, image, use_points):
+        from regen3d_tpu.config import default_config
+        from regen3d_tpu.pipeline.phase1_segmentation import detect_and_segment
+
+        cfg = default_config("/tmp/unused_phase1", use_points=use_points,
+                             labels=["object"])
+        return detect_and_segment(cfg, image, sam=counting, sam_params=params)
+
+    def test_one_encode_per_image(self, scene):
+        _, counting, params, image = scene
+        dets = self._run(counting, params, image, use_points=False)
+        assert len(dets) >= 2
+        assert counting.encodes == 1
+
+    def test_two_pass_points_change_masks(self, scene):
+        _, counting, params, image = scene
+        dets_box = self._run(counting, params, image, use_points=False)
+        enc_after_first = counting.encodes
+        dets_pts = self._run(counting, params, image, use_points=True)
+        # the second run (two passes of the decoder) still encodes ONCE
+        assert counting.encodes == enc_after_first + 1
+        m_box = np.stack([d.mask for d in dets_box])
+        m_pts = np.stack([d.mask for d in dets_pts[:len(m_box)]])
+        if m_box.shape == m_pts.shape:
+            assert (m_box != m_pts).any(), \
+                "point prompts must change at least one mask"
