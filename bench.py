@@ -475,8 +475,12 @@ def bench_pose_fit(results: dict, peak: float) -> None:
     batch, cam, init, _gt = _make_problem(rng, B, N_POINTS, IMG)
     COARSE = 256
     batch_c, cam_c = _coarse(batch, cam, IMG, COARSE)
-    cfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS)
-    cfg_f = _make_cfg((IMG, IMG), 1e-5, FINE_ITERS)
+    # coarse sigma 1e-4: at 256² the 1e-5 blur is sub-pixel and the coarse
+    # leg DIVERGES on structured meshes (measured: init IoU 0.27 → 0.12);
+    # 1e-4 reaches 0.55 and the fine leg then beats the all-fine reference
+    # schedule (0.65 vs 0.59 — see bench_fidelity)
+    cfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS)
+    cfg_f = _make_cfg((IMG, IMG), 5e-7, FINE_ITERS)
 
     fit_c = jax.jit(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params)
     fit_f = jax.jit(lambda p: fit_poses(p, batch, cam, cfg_f).params)
@@ -526,8 +530,8 @@ def bench_fidelity(results: dict) -> None:
                                              meshes=meshes)
     COARSE = 256
     fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
-    fcfg_c = _make_cfg((COARSE, COARSE), 1e-5, COARSE_ITERS, k=128)
-    fcfg_f = _make_cfg((IMG, IMG), 1e-5, FID_SEG, k=128)
+    fcfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS, k=128)
+    fcfg_f = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
     fcfg_ref = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
 
     pf = fit_poses(finit, fbatch_c, fcam_c, fcfg_c).params
@@ -785,7 +789,7 @@ def bench_scene_step(results: dict) -> None:
     # fit at the coarse half-resolution (serving config — scene_step pools
     # the masks + rescales the camera); the full-518² streaming fit needs
     # 2 GB rasterizer tiles per K=8 vmap and OOMs the fused program
-    fit_cfg = FitConfig(image_hw=(s // 2, s // 2), sigma=1e-5,
+    fit_cfg = FitConfig(image_hw=(s // 2, s // 2), sigma=1e-4,
                         max_iterations=50, early_stop_min_iters=50,
                         record_history=False, face_chunk=128,
                         point_chunk=1024)

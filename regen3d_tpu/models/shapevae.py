@@ -103,9 +103,15 @@ class ShapeDecoder(nn.Module):
         return h
 
     def query(self, h, points):
-        """(trunk output (B, L, width), points (B, Q, 3)) → SDF (B, Q)."""
+        """(trunk output (B, L, width), points (B, Q, 3)) → SDF (B, Q).
+
+        The query embedding enters RESIDUALLY (pq + cross-attn), matching
+        the published vecset decoders (3DShape2VecSet / Hunyuan shape
+        VAE). Without it the SDF can depend on the query point only
+        through softmax weights over L value vectors — measured to
+        collapse to a near-constant on small latent sets."""
         pq = self.query_in(fourier_features(points, self.cfg.num_freqs))
-        o = self.query_cross(self.q_norm(pq), h)
+        o = pq + self.query_cross(self.q_norm(pq), h)
         o = o + self.mlp(self.o_norm(o))
         sdf = self.sdf_out(self.out_norm(o))
         return sdf[..., 0]

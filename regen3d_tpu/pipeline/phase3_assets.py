@@ -78,6 +78,12 @@ class AssetGenerator:
     dit: ShapeDiT
     decoder: ShapeDecoder
     params: Dict
+    # serving knobs: the condition-image resolution the params were
+    # trained/initialized for, and whether the params carry real signal
+    # (random-init generators cap the decode grid — there is nothing to
+    # resolve — while trained/distilled ones run the full resolution)
+    image_size: int = 512
+    trained: bool = False
 
     @classmethod
     def random_init(cls, key: jax.Array, tiny: bool = False,
@@ -110,7 +116,8 @@ class AssetGenerator:
                              jnp.zeros((1, 8, 3)))
         return cls(dit_cfg=dit_cfg, vae_cfg=vae_cfg, cond=cond, dit=dit,
                    decoder=decoder,
-                   params={"cond": cond_p, "dit": dit_p, "dec": dec_p})
+                   params={"cond": cond_p, "dit": dit_p, "dec": dec_p},
+                   image_size=64 if tiny else image_size, trained=False)
 
     def generate_sdf(self, key: jax.Array, image: np.ndarray,
                      num_steps: int, guidance: float, resolution: int,
@@ -123,7 +130,7 @@ class AssetGenerator:
                            num_steps: int, guidance: float, resolution: int,
                            chunk: int,
                            extra_cond_tokens: Optional[np.ndarray] = None,
-                           ) -> np.ndarray:
+                           max_batch_per_program: int = 8) -> np.ndarray:
         """Batched generation: (B, H, W, 4) → (B, R, R, R) SDF volumes.
 
         One jitted pipeline (cond encoder → flow sampler → grid decode) for
@@ -136,7 +143,34 @@ class AssetGenerator:
         The whole path runs as ONE compiled XLA program per
         (modules, workload-knobs, shapes) — eager dispatch of the 50-step
         sampler through the remote-TPU tunnel costs ~50 ms/launch and was
-        measured at 47–78 s wall for a 1.3 s-device-time sample."""
+        measured at 47–78 s wall for a 1.3 s-device-time sample.
+
+        Large object batches are segmented into programs of at most
+        ``max_batch_per_program`` objects (padded to buckets of 4 so the
+        jit cache is reused): the tunnel kills single XLA programs that
+        run >~60 s, and one program over ALL objects at 256³ could cross
+        that line where per-segment programs cannot."""
+        b_total = images.shape[0]
+        if b_total > max_batch_per_program:
+            outs = []
+            for s0 in range(0, b_total, max_batch_per_program):
+                sl = slice(s0, min(s0 + max_batch_per_program, b_total))
+                ex = None if extra_cond_tokens is None \
+                    else extra_cond_tokens[sl]
+                key, sub = jax.random.split(key)
+                outs.append(self.generate_sdf_batch(
+                    sub, images[sl], num_steps, guidance, resolution, chunk,
+                    extra_cond_tokens=ex,
+                    max_batch_per_program=max_batch_per_program))
+            return np.concatenate(outs)
+        bucket = b_total if b_total in (1, 2) else 4 * ((b_total + 3) // 4)
+        pad = bucket - b_total
+        if pad:
+            images = np.concatenate([images, images[-1:].repeat(pad, 0)])
+            if extra_cond_tokens is not None:
+                extra_cond_tokens = np.concatenate(
+                    [extra_cond_tokens,
+                     extra_cond_tokens[-1:].repeat(pad, 0)])
         imgs = jnp.asarray(images, jnp.float32)
         extra = (None if extra_cond_tokens is None
                  else jnp.asarray(extra_cond_tokens))
@@ -152,11 +186,11 @@ class AssetGenerator:
             from regen3d_tpu.models.shapevae import assemble_volume
             vol_c, cell_idx, fine = run(self.params, imgs, key, extra)
             return assemble_volume(np.asarray(vol_c), np.asarray(cell_idx),
-                                   np.asarray(fine), resolution)
+                                   np.asarray(fine), resolution)[:b_total]
         vols = run(self.params, imgs, key, extra)
         if vols.ndim == 3:
             vols = vols[None]
-        return np.asarray(vols)
+        return np.asarray(vols)[:b_total]
 
 
 @functools.lru_cache(maxsize=4)
@@ -251,6 +285,34 @@ def vertex_colors_from_image(verts: np.ndarray, faces: np.ndarray,
     return bake_vertex_colors(verts, faces, [(cam, rgb)])
 
 
+def default_shape_checkpoint() -> str:
+    """Repo-root checkpoints/shape_distilled.npz (scripts/distill_shape.py)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "checkpoints", "shape_distilled.npz")
+
+
+def load_default_generator(cfg: Config) -> Optional["AssetGenerator"]:
+    """The ``shape_checkpoint`` config key, else the repo-default distilled
+    checkpoint when it exists (the Hunyuan checkpoint role —
+    2d_to_3d_models/run.py:67-76; zero egress means ours is distilled on
+    synthetic furniture, see pipeline/shape_distill.py)."""
+    path = str(cfg.get("shape_checkpoint", "") or "")
+    if not path:
+        cand = default_shape_checkpoint()
+        path = cand if os.path.exists(cand) else ""
+    if not path:
+        return None
+    if not os.path.exists(path):
+        log.warning("phase3: shape_checkpoint %s not found", path)
+        return None
+    from regen3d_tpu.pipeline.shape_distill import load_generator
+    gen = load_generator(path)
+    log.info("phase3: loaded distilled shape generator from %s "
+             "(dit width %d, cond %d^2)", path, gen.dit_cfg.width,
+             gen.image_size)
+    return gen
+
+
 def run(cfg: Config, generator: Optional[AssetGenerator] = None,
         key: Optional[jax.Array] = None) -> List[str]:
     art = Artifacts(cfg)
@@ -264,6 +326,8 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
 
     if key is None:
         key = jax.random.PRNGKey(int(cfg.get("seed", 1234567)))
+    if generator is None:
+        generator = load_default_generator(cfg)
     if generator is None:
         log.warning("phase3: no checkpoint — random-init generator "
                     "(geometry will be uninformative until weights load)")
@@ -288,8 +352,11 @@ def run(cfg: Config, generator: Optional[AssetGenerator] = None,
 
     # --- batched generation: all objects through ONE jitted pipeline ----------
     import jax.image as jimage
-    size = 64 if generator.dit_cfg.width < 512 else 512
-    res = min(resolution, 128) if generator.dit_cfg.width < 512 else resolution
+    size = generator.image_size
+    # random-init generators cap the decode grid (nothing to resolve);
+    # trained/distilled ones (shape_distill.load_generator) run it in full
+    res = resolution if generator.trained else \
+        (min(resolution, 128) if generator.dit_cfg.width < 512 else resolution)
     raw_imgs = []
     imgs_r = []
     for name in names:

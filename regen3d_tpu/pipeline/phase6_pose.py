@@ -410,13 +410,16 @@ def run(cfg: Config) -> Dict[str, float]:
         log.info("phase6: %s loss=%.4f converged=%s", stem, losses[i],
                  bool(np.asarray(result.converged)[i]))
 
+    t_export = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
     if bool(cfg.get("write_fit_gifs", True)) and fit_cfg.record_history:
         _write_gifs(cfg, art, jobs, batch, result, fit_cfg, cam)
     if bool(cfg.get("debug_save", False)):
         _dump_silhouette_debug(cfg, jobs, batch, final_v, fit_cfg, cam)
     log.info("phase6: stage breakdown — floor/cam %.1fs, per-object prep "
-             "%.1fs, fit %.1fs, export %.1fs (%d objects)",
-             t_floor, t_prep, t_fit, time.perf_counter() - t_stage, b)
+             "%.1fs, fit %.1fs, export %.1fs, gif/debug %.1fs (%d objects)",
+             t_floor, t_prep, t_fit, t_export,
+             time.perf_counter() - t_stage, b)
     return out
 
 

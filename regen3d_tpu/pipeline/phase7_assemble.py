@@ -240,21 +240,27 @@ def _match_grounds(cfg: Config, verts: np.ndarray) -> np.ndarray:
     radius = float(cfg.get("point_search_radius", 0.05))
     max_iters = int(cfg.get("max_ground_matching_iterations", 20))
     v = verts.copy()
+    # the iteration only ever shifts Y uniformly, so the XZ-radius NN
+    # matches and the lowest-decile band are LOOP-INVARIANT — hoist the
+    # tree build + query (the r3 hot spot: 20 tree rebuilds per scene)
+    # and iterate only the scalar offset (converges at iteration 2).
+    band_mask = v[:, 1] <= np.quantile(v[:, 1], 0.1)
+    band = v[band_mask]
+    if len(band) == 0:
+        return v
+    from scipy.spatial import cKDTree
+    tree = cKDTree(target[:, [0, 2]])
+    d, idx = tree.query(band[:, [0, 2]],
+                        distance_upper_bound=max(radius * 10, 0.2))
+    ok = np.isfinite(d)
+    if not ok.any():
+        return v
+    t_y = target[idx[ok], 1]
+    b_y = band[ok, 1].copy()
     for _ in range(max_iters):
-        # ground band of the mesh: lowest decile in Y
-        band = v[v[:, 1] <= np.quantile(v[:, 1], 0.1)]
-        if len(band) == 0:
-            break
-        # XZ-radius NN against the plane samples
-        from scipy.spatial import cKDTree
-        tree = cKDTree(target[:, [0, 2]])
-        d, idx = tree.query(band[:, [0, 2]],
-                            distance_upper_bound=max(radius * 10, 0.2))
-        ok = np.isfinite(d)
-        if not ok.any():
-            break
-        offset = float(np.mean(target[idx[ok], 1] - band[ok, 1]))
+        offset = float(np.mean(t_y - b_y))
         v[:, 1] += offset
+        b_y += offset
         if abs(offset) < 1e-4:
             break
     log.info("phase7: ground matched (total shift %.4f)",

@@ -360,7 +360,101 @@ def run(cfg: Config) -> List[str]:
 
     out = [os.path.join(art.rendering_dir, n) for n in
            ("render_cam1.png", "render_cam1_white_bg.png", "render_cam2.png")]
+    out += _debug_artifacts(cfg, art, scene, cam1, cam2, env,
+                            exposure, gamma, view_tf, look)
     log.info("phase8 (software): wrote %d renders at %dx%d", len(out), h, w)
+    return out
+
+
+def _render_pointcloud(cam: Camera, pts: np.ndarray,
+                       colors: Optional[np.ndarray],
+                       radius_px: float) -> np.ndarray:
+    """Point-splat preview of a cloud (the reference's io_mesh_ply import
+    + set_pc_for_render path, blender run.py:108-156,882-905)."""
+    from regen3d_tpu.ops.rasterize import render_points_soft
+
+    vs = _screen_verts(jnp.asarray(pts, jnp.float32), cam.R, cam.T,
+                       cam.focal, cam.principal, image_hw=cam.image_size)
+    cols = (jnp.asarray(colors, jnp.float32)
+            if colors is not None else None)
+    img, alpha = render_points_soft(vs, cam.image_size,
+                                    radius_px=radius_px, colors=cols)
+    img = np.asarray(img, np.float32)
+    a = np.asarray(alpha, np.float32)[..., None]
+    return np.clip(img + (1.0 - a), 0.0, 1.0)  # white background
+
+
+def _debug_artifacts(cfg: Config, art, scene, cam1: Camera, cam2: Camera,
+                     env, exposure, gamma, view_tf, look) -> List[str]:
+    """The reference's optional artifact set (blender run.py:604-979):
+    `render_pointclouds` → point-splat renders of the back-projection
+    cloud from both cameras; `render_GT` + GT_scene → the GT scene
+    rendered from both cameras (+ the predicted cloud overlay when
+    render_pointclouds is also on); always — a reloadable scene dump
+    (tmp/blender_scene.blend analog → temp/blender_scene.npz)."""
+    from regen3d_tpu.utils.ply import load_ply
+
+    out: List[str] = []
+    res_y = cam1.image_size[0]
+    render_pc = bool(cfg.get("render_pointclouds", False))
+    pc_path = art.combined_scene_bp_ply
+    pc = None
+    if render_pc and os.path.exists(pc_path):
+        cloud = load_ply(pc_path)
+        cols = (cloud.colors.astype(np.float32) / 255.0
+                if cloud.colors is not None else None)
+        pc = (cloud.vertices, cols)
+        # pytorch3d NDC radius 0.003 ≈ 1.5 px @1024, scaled to the render
+        # size; floored at 1.5 px so points stay visible at preview sizes
+        radius = max(1.5, 1.5 * res_y / 1024.0 * (
+            float(cfg.get("pointcloud_scale", 0.002)) / 0.002))
+        for cam, tag in ((cam1, "cam1"), (cam2, "cam2")):
+            img = _render_pointcloud(cam, pc[0], pc[1], radius)
+            p = os.path.join(art.rendering_dir,
+                             f"render_pointcloud_{tag}.png")
+            save_image(p, img)
+            save_image(p.replace(".png", "_white_bg.png"), img)
+            out.append(p)
+
+    gt_path = cfg.path("GT_scene") if cfg.get("GT_scene") else None
+    if bool(cfg.get("render_GT", False)) and gt_path \
+            and os.path.exists(gt_path):
+        gt_scene = _load_scene_for_render([gt_path], cfg)
+        if gt_scene is not None:
+            for cam, tag in ((cam1, "cam1"), (cam2, "cam2")):
+                img, hit = render_view(cam, gt_scene, cfg, env=env)
+                img = tone_map(img, exposure, gamma, view_tf, look)
+                if pc is not None:
+                    # overlay the predicted cloud on the GT render
+                    radius = max(1.5, 1.5 * res_y / 1024.0)
+                    pimg = _render_pointcloud(cam, pc[0], pc[1], radius)
+                    mask = (pimg < 0.999).any(-1, keepdims=True)
+                    img = np.where(mask, pimg, img)
+                p = os.path.join(art.rendering_dir,
+                                 f"render_GT_PC_{tag}.png")
+                save_image(p, img)
+                white = img.copy()
+                white[~hit] = 1.0
+                save_image(p.replace(".png", "_white_bg.png"), white)
+                out.append(p)
+
+    # scene dump (reference: tmp/blender_scene.blend, run.py:909-911) —
+    # the packed render-ready scene, reloadable for re-rendering
+    dump = os.path.join(art.temp, "blender_scene.npz")
+    os.makedirs(art.temp, exist_ok=True)
+    np.savez_compressed(
+        dump, verts=scene.verts, faces=scene.faces, normals=scene.normals,
+        colors=scene.colors, uvs=scene.uvs, tex_weight=scene.tex_weight,
+        metallic=scene.metallic, roughness=scene.roughness,
+        atlas=(scene.atlas if scene.atlas is not None
+               else np.ones((2, 2, 3), np.float32)),
+        cam1_R=cam1.R, cam1_T=cam1.T, cam1_focal=cam1.focal,
+        cam1_principal=cam1.principal,
+        cam1_image_size=np.asarray(cam1.image_size),
+        cam2_R=cam2.R, cam2_T=cam2.T, cam2_focal=cam2.focal,
+        cam2_principal=cam2.principal,
+        cam2_image_size=np.asarray(cam2.image_size))
+    log.info("phase8: scene dump → %s", dump)
     return out
 
 

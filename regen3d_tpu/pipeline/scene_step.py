@@ -51,6 +51,12 @@ def _extract_object_points(cloud, conf, masks, num_points):
     alignment). Returns ((K, P, 3) points, (K, P) valid)."""
     def one(mask):
         score = jnp.where(mask, conf, -jnp.inf)
+        # deterministic tie-break: quantize to bf16 so the ~1e-6
+        # reduction-order noise between a tp-sharded and a single-device
+        # VGGT cannot reorder near-tied confidences; within a bf16 bucket
+        # lax.top_k breaks ties by lowest index, which is stable across
+        # both programs. Lets the dryrun equality hold at rtol=1e-3.
+        score = score.astype(jnp.bfloat16).astype(jnp.float32)
         val, idx = jax.lax.top_k(score, num_points)
         return cloud[idx], jnp.isfinite(val)
 
@@ -113,7 +119,9 @@ def scene_step(
     # Fitting at the full 518² frame with the streaming rasterizer needs
     # (pixels × face_chunk × K) tiles — 2 GB each at K=8 — which blows the
     # HBM budget inside one fused program; the coarse fit is the serving
-    # configuration (fidelity probe: coarse-to-fine loses nothing).
+    # configuration. NOTE: coarse legs need sigma ≳1e-4 — at quarter-area
+    # resolutions a 1e-5 blur is sub-pixel and the fit diverges on real
+    # (16k-face structured) meshes; see bench_fidelity.
     fh, fw = fit_cfg.image_hw
     if (fh, fw) != (s, s):
         if s % fh or s % fw:

@@ -234,6 +234,57 @@ class TestPhase8EndToEnd:
         corner = img[:4, :4]
         assert corner[..., 2].mean() > corner[..., 0].mean()
 
+    def test_debug_artifacts(self, tmp_path):
+        """Reference optional artifact set (blender run.py:604-979):
+        render_pointclouds → point-splat renders; render_GT + GT_scene →
+        GT renders with the cloud overlay; plus the scene dump."""
+        from regen3d_tpu.artifacts import Artifacts
+        from regen3d_tpu.camera import save_camera_npz
+        from regen3d_tpu.config import default_config
+        from regen3d_tpu.pipeline import phase8_render
+        from regen3d_tpu.utils.ply import save_ply
+
+        out = str(tmp_path / "output")
+        gt_glb = str(tmp_path / "gt.glb")
+        save_glb(gt_glb, SceneData(meshes=[_quad_scene()]))
+        cfg = default_config(out, input_image=str(tmp_path / "x.png"),
+                             render_resolution=48,
+                             render_pointclouds=True, render_GT=True,
+                             GT_scene=gt_glb,
+                             view_transform="Standard", exposure=0.0,
+                             gamma=1.0, look="None")
+        art = Artifacts(cfg)
+        os.makedirs(art.glb_dir + "/scene", exist_ok=True)
+        save_glb(art.combined_scene_glb, SceneData(meshes=[_quad_scene()]))
+        save_camera_npz(art.camera_npz, np.eye(4), 40.0, (64, 48))
+        rng = np.random.default_rng(0)
+        # after the stored R_fix layout, the identity camera's view frame
+        # maps +z_view = -y_world: put the cloud in front at y≈-2
+        pts = rng.uniform(-1, 1, (256, 3)).astype(np.float32)
+        pts[:, 1] -= 2.0
+        os.makedirs(os.path.dirname(art.combined_scene_bp_ply),
+                    exist_ok=True)
+        save_ply(art.combined_scene_bp_ply, pts,
+                 colors=np.full((256, 3), 200, np.uint8))
+        outs = phase8_render.run(cfg)
+        names = {os.path.basename(p) for p in outs}
+        for want in ("render_pointcloud_cam1.png",
+                     "render_pointcloud_cam2.png",
+                     "render_GT_PC_cam1.png", "render_GT_PC_cam2.png"):
+            assert want in names, names
+            assert os.path.exists(os.path.join(
+                art.rendering_dir, want.replace(".png", "_white_bg.png")))
+        dump = os.path.join(art.temp, "blender_scene.npz")
+        assert os.path.exists(dump)
+        d = np.load(dump)
+        assert "verts" in d.files and "cam1_R" in d.files
+        # the pc render shows points against white background
+        from PIL import Image
+        pc1 = np.asarray(Image.open(os.path.join(
+            art.rendering_dir, "render_pointcloud_cam1.png")),
+            np.float32) / 255.0
+        assert (pc1 < 0.95).any(), "no points splatted"
+
 
 class TestRealHDRIAsset:
     def test_reference_hdri_haven_file(self):
