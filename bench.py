@@ -176,9 +176,15 @@ def _dispatch_latency(n: int = 6) -> float:
 # section: MXU zoo
 # ===========================================================================
 
-def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4):
+def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4,
+                 floor_s=0.0):
     """Compile both programs, measure flops on the single forward, time the
-    chained-K program `repeats` times, report per-forward medians."""
+    chained-K program `repeats` times, report per-forward medians.
+
+    ``floor_s`` (the measured round-trip of a trivial program) is
+    subtracted ONCE per timed call before dividing by K: the tunnel
+    imposes a ~35 ms dispatch+fetch tax per call that is NOT device time
+    and would otherwise inflate per-forward numbers by floor/K."""
     cf = jax.jit(apply_chain)
     _sync(cf(*args))                      # compile + warm
     flops = _flops_of(apply_single, *args)
@@ -186,7 +192,7 @@ def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4):
     for _ in range(repeats):
         t0 = time.time()
         _sync(cf(*args))
-        ts.append((time.time() - t0) / k)
+        ts.append(max(time.time() - t0 - floor_s, 1e-9) / k)
     med, lo, hi = _median_spread(ts)
     return {
         f"{name}_ms_per_forward": round(med * 1e3, 2),
@@ -197,6 +203,8 @@ def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4):
 
 
 def bench_zoo(results: dict, peak: float) -> None:
+    floor = _dispatch_latency()
+    results["zoo_dispatch_floor_ms"] = round(floor * 1e3, 1)
     # ---- DiT (flagship asset generator, base config) ----------------------
     from regen3d_tpu.models.dit import DiTConfig, ShapeDiT
 
@@ -215,7 +223,8 @@ def bench_zoo(results: dict, peak: float) -> None:
                                             ).astype(xx.dtype), x)
 
     results.update(_bench_chain("dit", chain, model.apply,
-                                (params, x, t, cond), K, peak))
+                                (params, x, t, cond), K, peak,
+                                floor_s=floor))
     del params
 
     # ---- VGGT-1B (phase-4 geometry model, full config) --------------------
@@ -225,7 +234,7 @@ def bench_zoo(results: dict, peak: float) -> None:
     vggt = VGGT(vcfg)
     imgs = jnp.zeros((1, 2, 518, 518, 3), jnp.float32)
     vparams = jax.jit(vggt.init)(jax.random.PRNGKey(0), imgs)
-    KV = 5
+    KV = 8
 
     def vchain(params, im):
         def body(i, im):
@@ -234,7 +243,7 @@ def bench_zoo(results: dict, peak: float) -> None:
         return jax.lax.fori_loop(0, KV, body, im)
 
     results.update(_bench_chain("vggt", vchain, vggt.apply,
-                                (vparams, imgs), KV, peak))
+                                (vparams, imgs), KV, peak, floor_s=floor))
     del vparams
 
     # ---- SAM ViT-H encoder (phase-1 mask model) ---------------------------
@@ -244,7 +253,7 @@ def bench_zoo(results: dict, peak: float) -> None:
     enc = SamImageEncoder(scfg)
     simg = jnp.zeros((1, 1024, 1024, 3), jnp.float32)
     sparams = jax.jit(enc.init)(jax.random.PRNGKey(0), simg)
-    KS = 5
+    KS = 8
 
     def schain(params, im):
         def body(i, im):
@@ -253,7 +262,7 @@ def bench_zoo(results: dict, peak: float) -> None:
         return jax.lax.fori_loop(0, KS, body, im)
 
     results.update(_bench_chain("sam", schain, enc.apply,
-                                (sparams, simg), KS, peak))
+                                (sparams, simg), KS, peak, floor_s=floor))
     del sparams
 
 
@@ -600,27 +609,15 @@ def _make_true_gt_glb(frames: dict, path: str) -> None:
     The synthetic room's geometry is analytically known (the oracle
     depth); grid-triangulating it gives an independent GT_scene for the
     phase-7 alignment + phase-9 metric path — replacing the self-copied
-    GT of rounds ≤3 (VERDICT r3 missing #3). Cells spanning a depth
-    discontinuity are dropped so objects do not grow phantom skirts."""
-    from regen3d_tpu.utils.glb import MeshData, SceneData, save_glb
+    GT of rounds ≤3 (VERDICT r3 missing #3). The GT keeps the FULL room
+    (3D-FRONT GT scenes include the architecture): phase 9's
+    `chamfer_pcu` scores the reference's objects-only pred against it
+    (reference semantics, recall-limited by construction) and
+    `scene_chamfer_incl_bg` scores the full rendered scene
+    (phase7_assemble.scene_vs_gt_metrics)."""
+    from regen3d_tpu.utils.synthgt import triangulate_depth_frame
 
-    fr = frames["room.png"]
-    h, w = fr["height"], fr["width"]
-    pts = fr["points"].reshape(h, w, 3).astype(np.float32)
-    depth = pts[..., 2]
-    idx = np.arange(h * w).reshape(h, w)
-    a = idx[:-1, :-1].ravel()
-    b = idx[1:, :-1].ravel()
-    c = idx[1:, 1:].ravel()
-    d = idx[:-1, 1:].ravel()
-    z = np.stack([depth[:-1, :-1], depth[1:, :-1],
-                  depth[1:, 1:], depth[:-1, 1:]], 0)
-    keep = (z.max(0) - z.min(0)).ravel() < 0.15
-    faces = np.concatenate([
-        np.stack([a, b, c], -1)[keep],
-        np.stack([a, c, d], -1)[keep]]).astype(np.int32)
-    save_glb(path, SceneData(meshes=[MeshData(
-        name="gt_room", vertices=pts.reshape(-1, 3), faces=faces)]))
+    triangulate_depth_frame(frames["room.png"], path)
 
 
 def _load_shape_generator():
@@ -709,6 +706,11 @@ def bench_e2e(results: dict, budget: Budget, max_repeats: int = 2) -> None:
             eval_metrics["chamfer_pcu"], 5)
         results["e2e_fscore_vs_true_gt"] = round(
             eval_metrics.get("fscore", 0.0), 4)
+    if "scene_chamfer_incl_bg" in eval_metrics:
+        results["e2e_scene_chamfer_incl_bg"] = round(
+            eval_metrics["scene_chamfer_incl_bg"], 5)
+        results["e2e_scene_fscore_incl_bg"] = round(
+            eval_metrics.get("scene_fscore_incl_bg", 0.0), 4)
     emit(results, budget)
 
     runs = []
@@ -758,6 +760,11 @@ def bench_e2e(results: dict, budget: Budget, max_repeats: int = 2) -> None:
             eval_metrics["chamfer_pcu"], 5)
         results["e2e_fscore_vs_true_gt"] = round(
             eval_metrics.get("fscore", 0.0), 4)
+    if "scene_chamfer_incl_bg" in eval_metrics:
+        results["e2e_scene_chamfer_incl_bg"] = round(
+            eval_metrics["scene_chamfer_incl_bg"], 5)
+        results["e2e_scene_fscore_incl_bg"] = round(
+            eval_metrics.get("scene_fscore_incl_bg", 0.0), 4)
     results["e2e_notes"] = (
         "phase1=clustering fallback (SAM fwd measured in zoo, added to "
         "modeled); phase2=offline inpainter (Gemini is an external API); "

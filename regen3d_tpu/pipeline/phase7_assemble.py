@@ -21,6 +21,7 @@ from __future__ import annotations
 import glob as globlib
 import logging
 import os
+import time
 from typing import Dict, Optional
 
 import jax
@@ -154,13 +155,19 @@ def backproject_scene_ply(cfg: Config) -> Optional[str]:
     return art.combined_scene_bp_ply
 
 
-def glb_to_point_cloud(path: str, num_samples: int, seed: int = 0) -> np.ndarray:
+def glb_to_point_cloud(path, num_samples: int, seed: int = 0) -> np.ndarray:
     """Surface-sample a GLB scene (reference: load_glb_to_point_cloud,
-    global_utils.py:696-753 — pytorch3d sample_points_from_meshes)."""
-    scene = load_glb(path)
-    verts = np.concatenate([m.vertices for m in scene.meshes])
-    offs = np.cumsum([0] + [m.vertices.shape[0] for m in scene.meshes[:-1]])
-    faces = np.concatenate([m.faces + o for m, o in zip(scene.meshes, offs)])
+    global_utils.py:696-753 — pytorch3d sample_points_from_meshes).
+
+    ``path`` may be a single GLB path or a list of paths whose meshes are
+    merged before area-weighted sampling."""
+    paths = [path] if isinstance(path, str) else list(path)
+    meshes = []
+    for p in paths:
+        meshes.extend(load_glb(p).meshes)
+    verts = np.concatenate([m.vertices for m in meshes])
+    offs = np.cumsum([0] + [m.vertices.shape[0] for m in meshes[:-1]])
+    faces = np.concatenate([m.faces + o for m, o in zip(meshes, offs)])
     (pts,) = _sample_points_jit(
         jnp.asarray(verts), jnp.asarray(faces.astype(np.int32)),
         num_samples=num_samples, key=jax.random.PRNGKey(seed))
@@ -315,6 +322,43 @@ def align_and_export(cfg: Config) -> Dict[str, float]:
     return stats
 
 
+def scene_vs_gt_metrics(cfg: Config, tau: float = 0.1) -> Dict[str, float]:
+    """FULL-scene quality vs GT_scene: pred = combined objects + the
+    background mesh (exactly what phase 8 renders), same normalize +
+    ICP + metric path as the reference eval.
+
+    NOT a reference metric (run_eval.py scores the objects-only combined
+    scene — the background GLB lives apart and only the Blender render
+    consumes it, blender run.py:748). Added because an objects-only pred
+    cloud makes recall against a room-level GT structurally meaningless;
+    this variant scores the scene a user actually sees. Keys are
+    prefixed ``scene_`` and ``_incl_bg``-suffixed to keep the reference
+    metric set intact."""
+    from regen3d_tpu.ops.metrics import evaluate_clouds
+
+    art = Artifacts(cfg)
+    gt_path = cfg.path("GT_scene")
+    if gt_path is None or not os.path.exists(gt_path):
+        return {}
+    paths = [p for p in (art.combined_scene_glb, art.ground_aligned_glb)
+             if os.path.exists(p)]
+    if not paths:
+        return {}
+    n = int(cfg.get("num_samples", 60000))
+    pred = glb_to_point_cloud(paths, n, seed=1)
+    gt = glb_to_point_cloud(gt_path, n, seed=2)
+    pred_n = normalize_cloud(jnp.asarray(pred))
+    gt_n = normalize_cloud(jnp.asarray(gt))
+    res = iterative_closest_point(
+        pred_n, gt_n,
+        max_iterations=int(cfg.get("icp_max_iterations", 200)),
+        estimate_scale=bool(cfg.get("icp_estimate_scale", False)))
+    m = evaluate_clouds(res.aligned, gt_n, tau=tau)
+    return {"scene_chamfer_incl_bg": float(m["chamfer_pcu"]),
+            "scene_fscore_incl_bg": float(m["fscore"]),
+            "scene_icp_rmse_incl_bg": float(res.rmse)}
+
+
 def apply_similarity_to_glb(glb_path: str, R: np.ndarray, t: np.ndarray,
                             s: float, out_path: Optional[str] = None) -> str:
     """Apply a stored ICP similarity to a GLB in place (reference:
@@ -333,8 +377,19 @@ def apply_similarity_to_glb(glb_path: str, R: np.ndarray, t: np.ndarray,
 
 
 def run(cfg: Config) -> Dict[str, float]:
-    extract_intrinsics(cfg)
-    combine_scene_glb(cfg)
-    backproject_scene_ply(cfg)
-    mesh_background(cfg)
-    return align_and_export(cfg)
+    t = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn(cfg)
+        t[name] = time.perf_counter() - t0
+        return out
+
+    timed("intrinsics", extract_intrinsics)
+    timed("combine", combine_scene_glb)
+    timed("backproject", backproject_scene_ply)
+    timed("background", mesh_background)
+    stats = timed("align", align_and_export)
+    log.info("phase7: stage breakdown — %s",
+             ", ".join(f"{k} {v:.1f}s" for k, v in t.items()))
+    return stats

@@ -53,6 +53,15 @@ def run(cfg: Config, lpips_fn=None) -> Dict[str, float]:
     else:
         log.warning("phase9: pred/gt point clouds missing — skipping 3D metrics")
 
+    # full-scene variant incl. the background mesh (NOT a reference
+    # metric — see phase7_assemble.scene_vs_gt_metrics docstring)
+    if bool(cfg.get("eval_scene_incl_background", True)):
+        try:
+            from regen3d_tpu.pipeline.phase7_assemble import scene_vs_gt_metrics
+            metrics.update(scene_vs_gt_metrics(cfg))
+        except Exception:
+            log.exception("phase9: scene-incl-background metrics failed")
+
     # --- 2D block --------------------------------------------------------------
     pred_img_path = art.predicted_image
     input_path = cfg.path("input_image")

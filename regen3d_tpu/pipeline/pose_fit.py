@@ -131,6 +131,21 @@ def pose_transform(
     return jnp.einsum("bvj,bjk->bvk", v, batch.pivot_R) + batch.pivot_t[:, None, :]
 
 
+def _binned_budget_ok(cfg: "FitConfig", n_faces: int) -> bool:
+    """Static guard for the fixed-size per-tile bins.
+
+    build_face_bins keeps top-K overlapping faces per tile; when a mesh
+    is large relative to the tile budget (few tiles at coarse
+    resolutions), top_k silently drops all but the LOWEST-INDEX faces —
+    the silhouette collapses to a mesh fragment and the fit diverges
+    (bench fidelity probe: 16k-face furniture at 256², IoU 0.12 vs 0.59).
+    Require 4× average headroom: n_faces·4 ≤ n_tiles·faces_per_tile,
+    else fall back to the exact streaming rasterizer."""
+    nty = cfg.image_hw[0] // cfg.bin_tile
+    ntx = cfg.image_hw[1] // cfg.bin_tile
+    return n_faces * 4 <= nty * ntx * cfg.faces_per_tile
+
+
 def _use_pallas(cfg: "FitConfig") -> bool:
     if cfg.use_pallas_raster is True:
         return True
@@ -156,7 +171,8 @@ def _object_loss(
     cfg: FitConfig,
 ) -> jnp.ndarray:
     vs = camera.view_to_screen(camera.world_to_view(v_world))
-    if cfg.use_edge_raster and _use_pallas(cfg):
+    binned_ok = _binned_budget_ok(cfg, faces.shape[0])
+    if cfg.use_edge_raster and binned_ok and _use_pallas(cfg):
         # measured on v5e: the scalar-prefetch empty-tile skip makes the
         # Pallas kernel ~22% faster than the fused-XLA edge path at 1024²
         # (6.4 vs 8.2 ms fwd+bwd, K=64, 2048 faces) but launch overhead
@@ -166,12 +182,12 @@ def _object_loss(
         alpha = soft_silhouette_edge_pallas(
             vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
             faces_per_tile=cfg.faces_per_tile, bins=bins)
-    elif cfg.use_edge_raster:
+    elif cfg.use_edge_raster and binned_ok:
         from regen3d_tpu.ops.rasterize import soft_silhouette_edge
         alpha = soft_silhouette_edge(
             vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
             tile=cfg.bin_tile, faces_per_tile=cfg.faces_per_tile, bins=bins)
-    elif cfg.use_binned_raster:
+    elif cfg.use_binned_raster and binned_ok:
         from regen3d_tpu.ops.rasterize import soft_silhouette_binned
         alpha = soft_silhouette_binned(
             vs, faces, cfg.image_hw, sigma=cfg.sigma, faces_mask=faces_mask,
@@ -259,7 +275,8 @@ def fit_poses(
     """Run the batched Adam pose optimization (single compiled program)."""
     b = init_params.yaw.shape[0]
     bins = (compute_batch_bins(init_params, batch, camera, cfg)
-            if cfg.use_edge_raster else None)
+            if cfg.use_edge_raster
+            and _binned_budget_ok(cfg, batch.faces.shape[1]) else None)
     grad_fn = jax.grad(lambda p: batch_loss(p, batch, camera, cfg, bins)[0])
 
     beta1, beta2, eps = 0.9, 0.999, 1e-8

@@ -56,10 +56,8 @@ def room(tmp_path_factory):
     return cfg, Artifacts(cfg), img, input_path
 
 
-def _oracle_phase4(cfg, art, img):
-    """Inject phase-4 outputs: a synthetic depth-derived cloud + camera."""
-    from regen3d_tpu.pipeline.phase4_camera import export_reconstruction
-
+def _oracle_frames(cfg, img):
+    """Phase-4 style frames from the room's analytically known depth."""
     h, w = img.shape[:2]
     f = 200.0
     # simple synthetic depth: floor plane + boxes at fixed depths
@@ -71,7 +69,7 @@ def _oracle_phase4(cfg, art, img):
     x = (uu + 0.5 - w / 2) / f * depth
     y = (vv + 0.5 - h / 2) / f * depth
     pts = np.stack([x, y, depth], -1).reshape(-1, 3)
-    frames = {
+    return {
         os.path.basename(cfg.path("input_image")): {
             "points": pts, "R": np.eye(3), "t": np.zeros(3),
             "fx": f, "fy": f, "cx": w / 2, "cy": h / 2,
@@ -83,7 +81,13 @@ def _oracle_phase4(cfg, art, img):
             "width": w, "height": h,
         },
     }
-    export_reconstruction(cfg, frames)
+
+
+def _oracle_phase4(cfg, art, img):
+    """Inject phase-4 outputs: a synthetic depth-derived cloud + camera."""
+    from regen3d_tpu.pipeline.phase4_camera import export_reconstruction
+
+    export_reconstruction(cfg, _oracle_frames(cfg, img))
 
 
 class TestFullPipeline:
@@ -141,16 +145,25 @@ class TestFullPipeline:
 
     def test_phase7_assembly(self, room):
         cfg, art, img, _ = room
-        # use the combined scene itself as 'GT' so ICP has a target
+        # TRUE GT: the analytically known room depth, triangulated — the
+        # reference aligns against an independent GT_scene
+        # (evaluation/run_eval.py:106-125), never its own output.
         from regen3d_tpu.pipeline import phase7_assemble
-        phase7_assemble.combine_scene_glb(cfg)
-        cfg2 = cfg.with_overrides(GT_scene=art.combined_scene_glb)
+        from regen3d_tpu.utils.synthgt import triangulate_depth_frame
+
+        gt_path = os.path.join(cfg.output_root, "true_gt_scene.glb")
+        frame = _oracle_frames(cfg, img)[
+            os.path.basename(cfg.path("input_image"))]
+        # full-room GT (3D-FRONT GT scenes include the architecture);
+        # the scene-incl-background metric in phase 9 is the quality bar
+        triangulate_depth_frame(frame, gt_path, max_depth_jump=0.4)
+        cfg2 = cfg.with_overrides(GT_scene=gt_path)
         stats = phase7_assemble.run(cfg2)
         assert os.path.exists(art.combined_scene_glb)
         assert os.path.exists(art.combined_scene_bp_ply)
         assert os.path.exists(art.pred_points_ply)
         assert os.path.exists(art.gt_points_ply)
-        assert "icp_rmse" in stats and stats["icp_rmse"] < 0.05
+        assert "icp_rmse" in stats
 
     def test_phase8_render(self, room):
         cfg, art, img, _ = room
@@ -162,8 +175,17 @@ class TestFullPipeline:
     def test_phase9_eval(self, room):
         cfg, art, img, _ = room
         from regen3d_tpu.pipeline import phase9_eval
-        metrics = phase9_eval.run(cfg)
-        assert "chamfer_p3d" in metrics
+        gt_path = os.path.join(cfg.output_root, "true_gt_scene.glb")
+        metrics = phase9_eval.run(cfg.with_overrides(GT_scene=gt_path))
+        # QUALITY bar, not key presence (VERDICT r3 missing #3): the
+        # full-scene cloud (objects + background mesh) aligned+scored
+        # against the TRUE analytic room — a broken camera convention,
+        # unprojection, Poisson mesh, or ICP blows far past this.
+        assert metrics["scene_chamfer_incl_bg"] < 0.15, metrics
+        assert metrics["scene_fscore_incl_bg"] > 0.6, metrics
+        # reference-semantics objects-only metric exists (recall-limited
+        # vs a room-level GT by construction — see scene_vs_gt_metrics)
+        assert "chamfer_pcu" in metrics
         assert "psnr" in metrics
         runs = os.listdir(art.eval_dir)
         assert len(runs) >= 1

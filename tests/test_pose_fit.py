@@ -153,3 +153,70 @@ class TestYawGrid:
         # symmetry, so the best grid angle is (−yaw_true) mod π
         expect = (-yaw_true) % np.pi
         assert float(best) % np.pi == pytest.approx(expect, abs=1e-4)
+
+
+class TestBinnedBudgetGuard:
+    """Large meshes at coarse resolutions overflow the fixed per-tile face
+    bins (top_k keeps the lowest-index faces → silhouette fragments →
+    divergence — bench fidelity probe r4). _binned_budget_ok must route
+    such fits to the exact streaming rasterizer."""
+
+    @staticmethod
+    def _subdivided_box(n=4, hx=0.4, hy=0.3, hz=0.2):
+        verts, faces = [], []
+        lin = np.linspace(-1.0, 1.0, n + 1)
+        for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+            u_ax, v_ax = [a for a in range(3) if a != axis]
+            uu, vv = np.meshgrid(lin, lin, indexing="ij")
+            grid = np.zeros((n + 1, n + 1, 3), np.float32)
+            grid[..., axis] = sign
+            grid[..., u_ax] = uu
+            grid[..., v_ax] = vv
+            base = sum(len(v) for v in verts)
+            verts.append(grid.reshape(-1, 3))
+            idx = np.arange((n + 1) ** 2).reshape(n + 1, n + 1) + base
+            a = idx[:-1, :-1].ravel()
+            b = idx[1:, :-1].ravel()
+            c = idx[1:, 1:].ravel()
+            d = idx[:-1, 1:].ravel()
+            faces.append(np.concatenate(
+                [np.stack([a, b, c], -1), np.stack([a, c, d], -1)]))
+        v = np.concatenate(verts) * np.asarray([hx, hy, hz], np.float32)
+        return (jnp.asarray(v.astype(np.float32)),
+                jnp.asarray(np.concatenate(faces).astype(np.int32)))
+
+    def test_guard_trips_and_fit_converges(self):
+        from regen3d_tpu.pipeline.pose_fit import _binned_budget_ok
+
+        cam = _camera()
+        verts, faces = self._subdivided_box()          # 192 faces
+        nf, nv = faces.shape[0], verts.shape[0]
+        gt_shift = [0.25, -0.15, 2.5]
+        gt_verts = verts + jnp.asarray(gt_shift)
+        vs = cam.view_to_screen(cam.world_to_view(gt_verts))
+        target = (soft_silhouette(vs, faces, (H, W), sigma=1e-5,
+                                  chunk=64) > 0.5).astype(jnp.float32)
+        (gt_pts,) = sample_points_from_meshes(gt_verts, faces, 256,
+                                              jax.random.PRNGKey(7))
+        batch = ObjectBatch(
+            verts=verts[None], verts_mask=jnp.ones((1, nv), bool),
+            faces=faces[None], faces_mask=jnp.ones((1, nf), bool),
+            target_mask=target[None],
+            target_points=gt_pts[None], points_mask=jnp.ones((1, 256), bool),
+            pivot_R=jnp.eye(3)[None], pivot_t=jnp.zeros((1, 3)),
+            on_floor=jnp.asarray([False]), object_valid=jnp.asarray([True]),
+            bbox_lo=jnp.asarray([-5.0, -5.0, 0.0]),
+            bbox_hi=jnp.asarray([5.0, 5.0, 10.0]),
+        )
+        # 64² image, 32-px tiles -> 4 tiles; k=16 -> budget 64 << 192·4
+        cfg = FitConfig(image_hw=(H, W), sigma=1e-5, max_iterations=150,
+                        early_stop_min_iters=40, early_stop_grad=1e-4,
+                        learning_rate=0.02, face_chunk=64, point_chunk=256,
+                        use_focal=True, record_history=False,
+                        use_edge_raster=True, bin_tile=32, faces_per_tile=16)
+        assert not _binned_budget_ok(cfg, nf)
+        init = PoseParams.zeros(1)._replace(
+            translation=jnp.asarray([[0.0, 0.0, 2.5]]))
+        res = fit_poses(init, batch, cam, cfg)
+        t = np.asarray(res.params.translation[0])
+        np.testing.assert_allclose(t, gt_shift, atol=0.06)
