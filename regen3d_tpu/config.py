@@ -380,7 +380,13 @@ def load_config(config_path: str, overrides: Optional[Dict[str, Any]] = None) ->
 
 
 def default_config(output_root: str, **overrides: Any) -> Config:
-    """Build an in-memory config rooted at ``output_root`` (for tests/tools)."""
+    """Build an in-memory config rooted at ``output_root`` (for tests/tools).
+
+    ``base_dir`` uses the same virtual ``_phase`` subdir convention as
+    :func:`load_config` so reference-layout relative defaults ("../tmp")
+    resolve to SIBLINGS of the output root (<workdir>/tmp) instead of
+    escaping the workdir (dirname(workdir)/tmp)."""
     values = {"output": os.path.abspath(output_root)}
     values.update(overrides)
-    return Config(values=values, base_dir=os.path.dirname(os.path.abspath(output_root)))
+    workdir = os.path.dirname(os.path.abspath(output_root))
+    return Config(values=values, base_dir=os.path.join(workdir, "_phase"))

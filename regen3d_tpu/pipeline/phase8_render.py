@@ -30,6 +30,7 @@ import logging
 import os
 import shutil
 import subprocess
+import time
 from typing import List, Optional, Tuple
 
 import jax
@@ -313,11 +314,14 @@ def run(cfg: Config) -> List[str]:
     if blender and not bool(cfg.get("force_software_render", False)):
         return _run_blender(cfg, blender)
 
+    t_stage = time.perf_counter()
     scene = _load_scene_for_render([art.combined_scene_glb,
                                     art.ground_aligned_glb], cfg)
     if scene is None:
         log.warning("phase8: nothing to render")
         return []
+    t_load = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
 
     res = int(cfg.get("render_resolution", 768))
     cam1 = camera_from_npz(art.camera_npz)
@@ -360,9 +364,14 @@ def run(cfg: Config) -> List[str]:
 
     out = [os.path.join(art.rendering_dir, n) for n in
            ("render_cam1.png", "render_cam1_white_bg.png", "render_cam2.png")]
+    t_render = time.perf_counter() - t_stage
+    t_stage = time.perf_counter()
     out += _debug_artifacts(cfg, art, scene, cam1, cam2, env,
                             exposure, gamma, view_tf, look)
-    log.info("phase8 (software): wrote %d renders at %dx%d", len(out), h, w)
+    log.info("phase8 (software): wrote %d renders at %dx%d — stage "
+             "breakdown: load %.1fs, render 3 views %.1fs, debug %.1fs",
+             len(out), h, w, t_load, t_render,
+             time.perf_counter() - t_stage)
     return out
 
 
