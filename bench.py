@@ -177,17 +177,20 @@ def _dispatch_latency(n: int = 6) -> float:
 # ===========================================================================
 
 def _bench_chain(name, apply_chain, apply_single, args, k, peak, repeats=4,
-                 floor_s=0.0):
+                 floor_s=0.0, flops_args=None):
     """Compile both programs, measure flops on the single forward, time the
     chained-K program `repeats` times, report per-forward medians.
 
     ``floor_s`` (the measured round-trip of a trivial program) is
     subtracted ONCE per timed call before dividing by K: the tunnel
     imposes a ~35 ms dispatch+fetch tax per call that is NOT device time
-    and would otherwise inflate per-forward numbers by floor/K."""
+    and would otherwise inflate per-forward numbers by floor/K.
+
+    ``flops_args`` overrides the args used for the single-forward FLOPs
+    count (for chains whose timed args differ from the model's)."""
     cf = jax.jit(apply_chain)
     _sync(cf(*args))                      # compile + warm
-    flops = _flops_of(apply_single, *args)
+    flops = _flops_of(apply_single, *(flops_args or args))
     ts = []
     for _ in range(repeats):
         t0 = time.time()
@@ -236,14 +239,22 @@ def bench_zoo(results: dict, peak: float) -> None:
     vparams = jax.jit(vggt.init)(jax.random.PRNGKey(0), imgs)
     KV = 8
 
-    def vchain(params, im):
-        def body(i, im):
-            out = vggt.apply(params, im)
-            return im + (out["depth"].mean() * 1e-20).astype(im.dtype)
-        return jax.lax.fori_loop(0, KV, body, im)
+    # scalar carry: chaining by UPDATING the full-size input image was
+    # measured 45 ms/fwd SLOWER than the same chain with a scalar carry
+    # (SAM-H: 171 vs 127 ms; marginal-cost probe agrees at 126) — carrying
+    # the multi-MB input through the fori_loop adds per-iteration overhead
+    # that is not forward-pass device time. The scalar still forces strict
+    # iteration dependence (input = img + s).
+    def vchain(params, s):
+        def body(i, s):
+            out = vggt.apply(params, imgs + s)
+            return out["depth"].mean().astype(s.dtype)
+        return jax.lax.fori_loop(0, KV, body, s)
 
     results.update(_bench_chain("vggt", vchain, vggt.apply,
-                                (vparams, imgs), KV, peak, floor_s=floor))
+                                (vparams, jnp.zeros(())), KV, peak,
+                                floor_s=floor,
+                                flops_args=(vparams, imgs)))
     del vparams
 
     # ---- SAM ViT-H encoder (phase-1 mask model) ---------------------------
@@ -255,14 +266,16 @@ def bench_zoo(results: dict, peak: float) -> None:
     sparams = jax.jit(enc.init)(jax.random.PRNGKey(0), simg)
     KS = 8
 
-    def schain(params, im):
-        def body(i, im):
-            out = enc.apply(params, im)
-            return im + (out.mean() * 1e-20).astype(im.dtype)
-        return jax.lax.fori_loop(0, KS, body, im)
+    def schain(params, s):   # scalar carry — see vchain comment
+        def body(i, s):
+            out = enc.apply(params, simg + s)
+            return out.mean().astype(s.dtype)
+        return jax.lax.fori_loop(0, KS, body, s)
 
     results.update(_bench_chain("sam", schain, enc.apply,
-                                (sparams, simg), KS, peak, floor_s=floor))
+                                (sparams, jnp.zeros(())), KS, peak,
+                                floor_s=floor,
+                                flops_args=(sparams, simg)))
     del sparams
 
 

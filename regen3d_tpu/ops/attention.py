@@ -133,11 +133,16 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused attention: q,k,v (B, H, S, D) → (B, H, Sq, D).
 
+    ``block_k=None`` auto-sizes the inner KV tile: the whole KV when
+    Sk ≤ 2048 (one big matmul per q-tile), else 1024. Swept on v5e at
+    the VGGT shapes — (2,16,1374,64): 0.57 ms at bk=256 → 0.18 ms
+    whole-KV; (1,16,2748,64): 1.15 → 0.54 ms at bk=1024 — and at the
+    SAM-H grid-bias shape (16,4096,80): 2.02 → 1.30 ms at bk=1024.
     ``interpret=None`` auto-selects interpreter mode off-TPU (tests).
     """
     o, _ = _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret)
@@ -150,11 +155,17 @@ def _auto_interpret(interpret):
     return jax.default_backend() != "tpu"
 
 
+def _auto_block_k(sk: int, block_k: Optional[int]) -> int:
+    if block_k is None:
+        block_k = sk if sk <= 2048 else 1024
+    return min(block_k, max(sk, 8))
+
+
 def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
     d = q.shape[-1]
     s = scale if scale is not None else 1.0 / (d ** 0.5)
     block_q = min(block_q, max(q.shape[2], 8))
-    block_k = min(block_k, max(k.shape[2], 8))
+    block_k = _auto_block_k(k.shape[2], block_k)
     return _flash_forward(q, k, v, s, block_q, block_k,
                           _auto_interpret(interpret))
 
@@ -231,7 +242,7 @@ def _flash_vjp_bwd(scale, block_q, block_k, interpret, res, g):
     delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32), axis=-1)
 
     bq = min(block_q, sq)
-    bk = min(block_k, sk)
+    bk = _auto_block_k(sk, block_k)
     pad_q = (-sq) % bq
     pad_k = (-sk) % bk
     qf = q.reshape(bh, sq, d)
@@ -427,15 +438,24 @@ def _flash_bwd_gb_dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, g_ref,
                              lse_ref, dl_ref, dk_ref, dv_ref, *, scale,
                              q_len, block_q, kw):
     """Grid over kv-tiles: dk, dv (recomputing p with the factored bias).
-    Q loop unrolled; this tile's bias_h COLUMN block arrives via its
-    BlockSpec (indexed by the kv grid axis), so no dynamic slicing."""
+    Q loop unrolled. bias_h arrives with FULL key-grid-row columns (a
+    column-sliced BlockSpec would need a last-dim block of bk//kw, which
+    Mosaic rejects unless 128-divisible); the kv-tile's rows are selected
+    by a DYNAMIC selector matmul — ehj[m, k] = [(j·Bk + k)//kw == m] with
+    j = program_id(1) — so the (Bq, KHp) @ (KHp, Bk) product expands
+    exactly this tile's bias columns on the MXU."""
     k_blk = k_ref[0].astype(jnp.float32)              # (Bk, D)
     v_blk = v_ref[0].astype(jnp.float32)
     bk = k_blk.shape[0]
-    r = bk // kw
+    khp = bh_ref.shape[-1]
     num_q = (q_len + block_q - 1) // block_q
 
-    eh, ew = _gb_selectors(bk, kw)
+    j = pl.program_id(1)
+    col_row = (jax.lax.broadcasted_iota(jnp.int32, (khp, bk), 1)
+               + j * bk) // kw                        # key-grid row per col
+    m_idx = jax.lax.broadcasted_iota(jnp.int32, (khp, bk), 0)
+    ehj = (col_row == m_idx).astype(jnp.float32)      # (KHp, Bk)
+    _, ew = _gb_selectors(bk, kw)
     dk = jnp.zeros((bk, k_blk.shape[1]), jnp.float32)
     dv = jnp.zeros((bk, k_blk.shape[1]), jnp.float32)
     for i in range(num_q):
@@ -443,10 +463,10 @@ def _flash_bwd_gb_dkv_kernel(k_ref, v_ref, q_ref, bh_ref, bw_ref, g_ref,
         g_t = g_ref[0, i * block_q:(i + 1) * block_q, :].astype(jnp.float32)
         lse = lse_ref[0, 0, i * block_q:(i + 1) * block_q]
         delta = dl_ref[0, 0, i * block_q:(i + 1) * block_q]
-        bh_t = bh_ref[0, i * block_q:(i + 1) * block_q, :]      # (Bq, r)
+        bh_t = bh_ref[0, i * block_q:(i + 1) * block_q, :]      # (Bq, KHp)
         bw_t = bw_ref[0, i * block_q:(i + 1) * block_q, :]
         s = jnp.dot(q_t, k_blk.T, preferred_element_type=jnp.float32) * scale
-        s = s + jnp.dot(bh_t, eh, preferred_element_type=jnp.float32) \
+        s = s + jnp.dot(bh_t, ehj, preferred_element_type=jnp.float32) \
             + jnp.dot(bw_t, ew, preferred_element_type=jnp.float32)
         q_idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + i * block_q
         p = jnp.where(q_idx < q_len, jnp.exp(s - lse[:, None]), 0.0)
@@ -484,9 +504,16 @@ def _gb_pad_inputs(q, k, v, bias_h, bias_w, kw, block_q, block_k):
     return qf, kf, vf, bhf, bwf
 
 
-def _gb_block_k(kw: int, sk: int, target: int = 256) -> int:
+def _gb_block_k(kw: int, sk: int, target: int = 1024) -> int:
     """Largest multiple of lcm(kw, 8) ≤ target (≥ one unit): keeps the KV
-    tile a whole number of key-grid rows AND sublane-aligned."""
+    tile a whole number of key-grid rows AND sublane-aligned.
+
+    The full padded KV lives in VMEM regardless (one BlockSpec block);
+    ``target`` only sets the INNER loop tile, so bigger is better until
+    the (Bq, Bk) logits tile pressures VMEM. Swept on v5e at the SAM-H
+    global shape (16×4096×80, kw=64): target 256 → 2.02 ms/fwd,
+    512/1024 → 1.30 ms (block_q 256); 1024 also quarters the unrolled
+    trip count. The XLA materialized-(S,S) path is 11.1 ms."""
     import math
     unit = kw * 8 // math.gcd(kw, 8)
     bk = unit * max(1, target // unit)
@@ -649,8 +676,9 @@ def _gb_vjp_bwd(kw, scale, block_q, interpret, res, g):
             pl.BlockSpec((1, bk, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             full_q(),
-            # this kv-tile's bias_h COLUMN block (r = bk//kw key-grid rows)
-            pl.BlockSpec((1, sq_p, bk // kw), lambda i, j: (i, 0, j),
+            # FULL bias_h columns; the kv-tile's rows are selected inside
+            # the kernel by a dynamic selector matmul (see kernel docstring)
+            pl.BlockSpec((1, sq_p, khp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sq_p, kw), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
