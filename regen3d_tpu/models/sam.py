@@ -42,6 +42,13 @@ class SamConfig:
     global_blocks: Tuple[int, ...] = (7, 15, 23, 31)
     prompt_dim: int = 256
     dtype: jnp.dtype = jnp.bfloat16
+    # minimum token count for the fused grid-bias flash kernel. Global
+    # blocks (64² = 4096 tokens) always qualify; at the default 1024 the
+    # 14² = 196-token windowed blocks take the XLA einsum path. Set ≤196
+    # to route windows through the kernel too — that skips materializing
+    # the (B·25win·16heads, 196, 196) f32 logits + bias (~180 MB of HBM
+    # round-trips per windowed block).
+    flash_min_tokens: int = 1024
 
     @property
     def grid(self) -> int:
@@ -118,6 +125,7 @@ class SamAttention(nn.Module):
     use_rel_pos: bool
     input_hw: Tuple[int, int]
     dtype: jnp.dtype
+    flash_min_tokens: int = 1024
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -136,7 +144,7 @@ class SamAttention(nn.Module):
                                (2 * h - 1, hd), jnp.float32)
             rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * w - 1, hd), jnp.float32)
-            if h * w >= 1024:
+            if h * w >= self.flash_min_tokens:
                 # fused kernel: the factored bias stays (S, kh) + (S, kw);
                 # the (S, S) logits/bias never reach HBM — the XLA einsum
                 # path materialized ~1 GB f32 per SAM-H 64² global block
@@ -172,11 +180,11 @@ class SamBlock(nn.Module):
         h = nn.LayerNorm(dtype=c.dtype, name="norm1")(x)
         if self.is_global:
             h = SamAttention(c.num_heads, True, (x.shape[1], x.shape[2]),
-                             c.dtype, name="attn")(h)
+                             c.dtype, c.flash_min_tokens, name="attn")(h)
         else:
             hw, meta = _window_partition(h, c.window)
             hw = SamAttention(c.num_heads, True, (c.window, c.window),
-                              c.dtype, name="attn")(hw)
+                              c.dtype, c.flash_min_tokens, name="attn")(hw)
             h = _window_unpartition(hw, c.window, meta)
         x = shortcut + h
         x = x + Mlp(x.shape[-1] * 4, dtype=c.dtype, name="mlp")(

@@ -112,6 +112,14 @@ class FitConfig:
     # candidate-pruned 3D loss: exact point-triangle on the k nearest faces
     # (MXU centroid KNN); 0 = full exact loss
     pm_topk: int = 0
+    # process the object axis in checkpointed groups of this size via
+    # lax.map instead of one big vmap (0 = vmap all). The streaming
+    # rasterizer keeps a live (pixels × face_chunk) tile per object; at
+    # 518² × K=8 that is ~2 GB under vmap — sequential groups trade a
+    # little wall-clock for a K/object_chunk× smaller live set so the
+    # fused full-resolution scene step fits in HBM. Requires the object
+    # count to be a multiple of object_chunk (pad_batch_to).
+    object_chunk: int = 0
 
 
 def pose_transform(
@@ -226,9 +234,20 @@ def batch_loss(
     b = v_world.shape[0]
     if bins is None:
         bins = (jnp.zeros((b, 1, 1), jnp.int32), jnp.zeros((b, 1, 1), bool))
-    per_obj = jax.vmap(loss_fn)(
-        v_world, batch.verts_mask, batch.faces, batch.faces_mask,
-        batch.target_mask, batch.target_points, batch.points_mask, bins)
+    args = (v_world, batch.verts_mask, batch.faces, batch.faces_mask,
+            batch.target_mask, batch.target_points, batch.points_mask, bins)
+    oc = cfg.object_chunk
+    if 0 < oc < b and b % oc == 0:
+        # sequential object groups: lax.map over checkpointed vmap-groups.
+        # checkpoint keeps the scan from banking each group's rasterizer
+        # tiles for backward — live memory is ONE group's working set.
+        grouped = jax.tree.map(lambda x: x.reshape(b // oc, oc, *x.shape[1:]),
+                               args)
+        per_obj = lax.map(
+            jax.checkpoint(lambda a: jax.vmap(loss_fn)(*a)),
+            grouped).reshape(b)
+    else:
+        per_obj = jax.vmap(loss_fn)(*args)
     per_obj = jnp.where(batch.object_valid, per_obj, 0.0)
     return jnp.sum(per_obj), per_obj
 

@@ -116,12 +116,13 @@ def scene_step(
 
     # fit at fit_cfg.image_hw, which may be COARSER than the VGGT frame
     # (phase 6's coarse leg): max-pool the masks and rescale the camera.
-    # Fitting at the full 518² frame with the streaming rasterizer needs
-    # (pixels × face_chunk × K) tiles — 2 GB each at K=8 — which blows the
-    # HBM budget inside one fused program; the coarse fit is the serving
-    # configuration. NOTE: coarse legs need sigma ≳1e-4 — at quarter-area
-    # resolutions a 1e-5 blur is sub-pixel and the fit diverges on real
-    # (16k-face structured) meshes; see bench_fidelity.
+    # Full-frame (518²) fits set fit_cfg.object_chunk (pose_fit.batch_loss):
+    # the object axis runs in checkpointed lax.map groups, so live memory
+    # is one group's (pixels × face_chunk) rasterizer tile instead of K of
+    # them (the r4 half-res fallback existed because K=8 vmapped tiles at
+    # 518² cost ~2 GB). NOTE: coarse legs need sigma ≳1e-4 — at
+    # quarter-area resolutions a 1e-5 blur is sub-pixel and the fit
+    # diverges on real (16k-face structured) meshes; see bench_fidelity.
     fh, fw = fit_cfg.image_hw
     if (fh, fw) != (s, s):
         if s % fh or s % fw:

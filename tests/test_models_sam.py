@@ -118,3 +118,27 @@ class TestPhase1SamServing:
         if m_box.shape == m_pts.shape:
             assert (m_box != m_pts).any(), \
                 "point prompts must change at least one mask"
+
+
+class TestWindowKernelParity:
+    """flash_min_tokens routes windowed blocks through the fused grid-bias
+    kernel instead of the XLA einsum path; both must produce the same
+    encoder output (the kernel is exact attention, not an approximation)."""
+
+    def test_window_paths_agree(self, rng):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from regen3d_tpu.models.sam import SamConfig, SamImageEncoder
+
+        cfg_xla = dataclasses.replace(
+            SamConfig.tiny(), dtype=jnp.float32, flash_min_tokens=10**9)
+        cfg_krn = dataclasses.replace(cfg_xla, flash_min_tokens=1)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+        params = SamImageEncoder(cfg_xla).init(jax.random.PRNGKey(0), img)
+        a = SamImageEncoder(cfg_xla).apply(params, img)
+        b = SamImageEncoder(cfg_krn).apply(params, img)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5)

@@ -220,3 +220,63 @@ class TestBinnedBudgetGuard:
         res = fit_poses(init, batch, cam, cfg)
         t = np.asarray(res.params.translation[0])
         np.testing.assert_allclose(t, gt_shift, atol=0.06)
+
+
+class TestObjectChunk:
+    """object_chunk (checkpointed lax.map groups over the object axis) must
+    be a pure memory knob: losses, grads and full fits match the vmap path.
+    It exists so the fused full-resolution scene step fits in HBM
+    (scene_step.py; VERDICT r4 item 4)."""
+
+    def _four_object_batch(self):
+        cam, b1 = _make_batch([0.3, -0.2, 2.5])
+        _, b2 = _make_batch([-0.2, 0.1, 2.2])
+        _, b3 = _make_batch([0.1, 0.2, 2.8])
+        _, b4 = _make_batch([0.0, 0.0, 2.4])
+        batch = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0)
+            if xs[0].ndim and xs[0].shape[0] == 1 else xs[0],
+            b1, b2, b3, b4)
+        return cam, batch
+
+    @pytest.mark.parametrize("oc", [1, 2])
+    def test_loss_and_grad_match_vmap(self, oc):
+        cam, batch = self._four_object_batch()
+        init = PoseParams.zeros(4)._replace(
+            translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (4, 1)))
+        import dataclasses
+        cfg_c = dataclasses.replace(CFG, object_chunk=oc)
+        tot0, per0 = batch_loss(init, batch, cam, CFG)
+        tot1, per1 = batch_loss(init, batch, cam, cfg_c)
+        np.testing.assert_allclose(np.asarray(per1), np.asarray(per0),
+                                   rtol=1e-6, atol=1e-7)
+        g0 = jax.grad(lambda p: batch_loss(p, batch, cam, CFG)[0])(init)
+        g1 = jax.grad(lambda p: batch_loss(p, batch, cam, cfg_c)[0])(init)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_full_fit_matches_vmap(self):
+        cam, batch = self._four_object_batch()
+        init = PoseParams.zeros(4)._replace(
+            translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (4, 1)))
+        import dataclasses
+        cfg = dataclasses.replace(CFG, max_iterations=30,
+                                  early_stop_min_iters=30)
+        cfg_c = dataclasses.replace(cfg, object_chunk=2)
+        r0 = fit_poses(init, batch, cam, cfg)
+        r1 = fit_poses(init, batch, cam, cfg_c)
+        np.testing.assert_allclose(np.asarray(r1.params.translation),
+                                   np.asarray(r0.params.translation),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_non_divisible_falls_back_to_vmap(self):
+        cam, batch = self._four_object_batch()
+        init = PoseParams.zeros(4)._replace(
+            translation=jnp.tile(jnp.asarray([[0.0, 0.0, 2.5]]), (4, 1)))
+        import dataclasses
+        cfg_c = dataclasses.replace(CFG, object_chunk=3)  # 4 % 3 != 0
+        tot0, per0 = batch_loss(init, batch, cam, CFG)
+        tot1, per1 = batch_loss(init, batch, cam, cfg_c)
+        np.testing.assert_allclose(np.asarray(per1), np.asarray(per0),
+                                   rtol=1e-6, atol=1e-7)
