@@ -235,10 +235,15 @@ def _bench_chain(name, apply_chain, args, k, peak, repeats=4, floor_s=0.0):
     ``floor_s`` (the measured round-trip of a trivial program) is
     subtracted ONCE per timed call before dividing by K: the tunnel
     imposes a ~35 ms dispatch+fetch tax per call that is NOT device time
-    and would otherwise inflate per-forward numbers by floor/K."""
+    and would otherwise inflate per-forward numbers by floor/K.
+
+    FLOPs note: XLA's cost model counts a while/fori_loop BODY ONCE
+    (verified: a K=10 fori_loop of a matmul reports exactly the single
+    matmul's flops), so the chain's cost analysis already IS the
+    per-forward count — no /K."""
     cf, flops_chain = _aot(apply_chain, *args)
     _sync(cf(*args))                      # warm (execute once)
-    flops = flops_chain / k
+    flops = flops_chain
     ts = []
     for _ in range(repeats):
         t0 = time.time()
@@ -582,12 +587,20 @@ def bench_pose_fit(results: dict, peak: float) -> None:
     cfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS)
     cfg_f = _make_cfg((IMG, IMG), 5e-7, FINE_ITERS)
 
-    fit_c, flops_c = _aot(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params,
-                          init)
-    fit_f, flops_f = _aot(lambda p: fit_poses(p, batch, cam, cfg_f).params,
-                          init)
+    fit_c, flops_c1 = _aot(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params,
+                           init)
+    fit_f, flops_f1 = _aot(lambda p: fit_poses(p, batch, cam, cfg_f).params,
+                           init)
     _sync(fit_c(init))
     _sync(fit_f(init))
+    # XLA cost analysis counts the Adam while_loop body ONCE; the fit runs
+    # exactly the configured iteration count (early stop gated past it), so
+    # total flops ≈ program_flops × iters. program_flops also includes the
+    # once-run bins/final-loss tails, so this is an UPPER BOUND on the true
+    # total (keys are *_est; the headline pose metric is objects/sec, which
+    # is measured, not modeled).
+    flops_c = flops_c1 * COARSE_ITERS
+    flops_f = flops_f1 * FINE_ITERS
 
     disp = _dispatch_latency()
     ts = []
@@ -610,9 +623,9 @@ def bench_pose_fit(results: dict, peak: float) -> None:
         "pose_fit_dispatch_latency_s": round(disp, 4),
         # 2 dispatches/fit now; device share of the measured wall-clock
         "pose_fit_device_share": round(max(0.0, 1.0 - 2 * disp / med), 4),
-        "pose_fit_flops": total_flops,
-        "pose_fit_mfu": round(mfu, 8) if mfu is not None else None,
-        "pose_fit_gflops_achieved": round(total_flops / med / 1e9, 2),
+        "pose_fit_flops_est": total_flops,
+        "pose_fit_mfu_est": round(mfu, 8) if mfu is not None else None,
+        "pose_fit_gflops_achieved_est": round(total_flops / med / 1e9, 2),
         "vs_baseline_pose_fit": round(objects_per_sec * REF_SEC_PER_OBJECT, 3),
     })
 
@@ -863,6 +876,52 @@ def bench_e2e(results: dict, budget: Budget, max_repeats: int = 2) -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
 
+def bench_vggt_merge(results: dict, peak: float) -> None:
+    """FastVGGT-style training-free token merging (VERDICT r4 item 7):
+    VGGT-1B forward ms at merge ratio 0 / 0.3 / 0.5 (2 frames) and 0.5
+    (8 frames), plus a depth-consistency delta vs the unmerged forward
+    on the same input. Match: minimal_demo_vggt.py:303-315 (the
+    aggregator forward whose global-attention cost the merge cuts)."""
+    import dataclasses
+
+    from regen3d_tpu.models.vggt import VGGT, VGGTConfig
+
+    floor = _dispatch_latency()
+    rng = np.random.default_rng(0)
+    base_imgs2 = jnp.asarray(
+        rng.uniform(0, 1, (1, 2, 518, 518, 3)), jnp.float32)
+    params = None
+    depth_ref = None
+    for ratio, frames in ((0.0, 2), (0.3, 2), (0.5, 2), (0.5, 8)):
+        cfg = dataclasses.replace(VGGTConfig(), token_merge_ratio=ratio)
+        model = VGGT(cfg)
+        imgs = base_imgs2 if frames == 2 else jnp.tile(
+            base_imgs2, (1, frames // 2, 1, 1, 1))
+        if params is None:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), base_imgs2)
+        k = 4
+
+        def chain(p, s, _model=model, _imgs=imgs):
+            def body(i, s):
+                out = _model.apply(p, _imgs + s)
+                return out["depth"].mean().astype(s.dtype)
+            return jax.lax.fori_loop(0, k, body, s)
+
+        tag = f"vggt_merge{ratio:g}_f{frames}"
+        results.update(_bench_chain(tag, chain, (params, jnp.zeros(())),
+                                    k, peak, repeats=3, floor_s=floor))
+        # depth consistency vs the unmerged 2-frame forward (same input)
+        if frames == 2:
+            d = np.asarray(jax.jit(model.apply)(params, base_imgs2)["depth"],
+                           np.float32)
+            if ratio == 0.0:
+                depth_ref = d
+            elif depth_ref is not None:
+                denom = np.maximum(np.abs(depth_ref), 1e-6)
+                results[f"{tag}_depth_rel_delta"] = round(
+                    float(np.mean(np.abs(d - depth_ref) / denom)), 5)
+
+
 def bench_scene_step(results: dict) -> None:
     """The fused phases-4→6 serving program at representative shapes."""
     from regen3d_tpu.models.vggt import VGGT, VGGTConfig
@@ -922,6 +981,7 @@ SECTION_ORDER = [
     ("zoo", 420),
     ("scene_step", 240),
     ("fidelity", 300),
+    ("vggt_merge", 300),
     ("e2e", 900),
 ]
 
@@ -966,6 +1026,7 @@ def _child_main(only: set, budget_s: float, seed_path: str | None) -> int:
         "zoo": lambda: bench_zoo(results, peak),
         "scene_step": lambda: bench_scene_step(results),
         "fidelity": lambda: bench_fidelity(results),
+        "vggt_merge": lambda: bench_vggt_merge(results, peak),
         "e2e": lambda: bench_e2e(results, budget),
     }
     rc = 0
