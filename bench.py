@@ -1062,17 +1062,19 @@ def _probe_once(timeout_s: float) -> bool:
         return False
 
 
-def _wait_healthy(budget: Budget, max_wait_s: float = 900.0) -> bool:
+def _wait_healthy(budget: Budget, max_wait_s: float = 1800.0) -> bool:
     """Loop the probe until the worker serves programs again (VERDICT r4
     weak #2: the fixed 75 s sleep was 5-12× shorter than the measured
-    400-950 s post-crash recovery latency). The probe itself blocks while
-    the tunnel re-establishes, so its runtime counts toward the wait."""
+    400-950 s post-crash recovery latency). A probe BLOCKS until the
+    tunnel re-establishes (measured: a trivial round-trip returned after
+    491 s of worker recovery), so each attempt gets a long timeout and
+    its runtime counts toward the wait."""
     t0 = time.time()
     while True:
         left = min(budget.left() - 30, max_wait_s - (time.time() - t0))
         if left <= 0:
             return False
-        if _probe_once(timeout_s=min(240.0, left)):
+        if _probe_once(timeout_s=min(900.0, left)):
             return True
         if min(budget.left() - 30, max_wait_s - (time.time() - t0)) <= 20:
             return False
