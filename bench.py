@@ -102,13 +102,14 @@ def _init_device() -> None:
     import jax as _jax
     import jax.numpy as _jnp
 
+    # test hook: sitecustomize pins JAX_PLATFORMS=axon, so the env var alone
+    # cannot force CPU — honor an explicit request here (smoke tests only).
+    # Must happen BEFORE cache setup so CPU runs skip persistent caching.
+    if os.environ.get("BENCH_FORCE_CPU"):
+        _jax.config.update("jax_platforms", "cpu")
     from regen3d_tpu.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
-    # test hook: sitecustomize pins JAX_PLATFORMS=axon, so the env var alone
-    # cannot force CPU — honor an explicit request here (smoke tests only)
-    if os.environ.get("BENCH_FORCE_CPU"):
-        _jax.config.update("jax_platforms", "cpu")
     jax, jnp = _jax, _jnp
 
 REF_SEC_PER_OBJECT_RANGE = (10.0, 40.0)   # pose fit, unmeasured estimate

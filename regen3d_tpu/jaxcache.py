@@ -36,6 +36,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     try:
         import jax
 
+        # CPU is excluded: CPU compiles are fast, and XLA:CPU AOT cache
+        # entries carry tuned machine-feature lists that re-load with
+        # "could lead to SIGILL" warnings — not worth it for the tests'
+        # virtual-device runs. The tunnel (axon/TPU) is the whole point.
+        platforms = (jax.config.jax_platforms
+                     or os.environ.get("JAX_PLATFORMS") or "")
+        primary = platforms.split(",")[0].strip().lower()
+        if primary == "cpu":
+            return None
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # cache everything that took ≥1 s to compile, regardless of size:
@@ -46,3 +55,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return cache_dir
     except Exception:  # noqa: BLE001 — never let cache setup break an entry
         return None
+
+
+def disable_compilation_cache() -> None:
+    """Turn the persistent cache back off (e.g. before a forced-CPU
+    section like dryrun_multichip's virtual mesh)."""
+    global _ENABLED
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+        _ENABLED = False
+    except Exception:  # noqa: BLE001
+        pass
