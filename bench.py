@@ -1157,11 +1157,18 @@ def _parent_main(only: set, budget_s: float) -> int:
             results["failed_sections"][name] = "worker never became healthy"
             emit(results, budget)
             continue
+        # each cold compile inside a section is an independent crash risk,
+        # and every crash leaves its finished compiles in the persistent
+        # cache — so retries converge (one long compile closer per pass).
+        # Allow several, budget permitting.
         ok = _run_section_child(name, results, budget)
-        if not ok and budget.has(est + 60) and _wait_healthy(budget):
-            print(f"bench: retrying section '{name}' after recovery",
-                  file=sys.stderr)
-            _run_section_child(name, results, budget)
+        attempts = 1
+        while not ok and attempts < 4 and budget.has(est + 60) \
+                and _wait_healthy(budget):
+            print(f"bench: retrying section '{name}' after recovery "
+                  f"(attempt {attempts + 1})", file=sys.stderr)
+            ok = _run_section_child(name, results, budget)
+            attempts += 1
         emit(results, budget)
     emit(results, budget)
     return 0
