@@ -585,7 +585,13 @@ def bench_pose_fit(results: dict, peak: float) -> None:
     # leg DIVERGES on structured meshes (measured: init IoU 0.27 → 0.12);
     # 1e-4 reaches 0.55 and the fine leg then beats the all-fine reference
     # schedule (0.65 vs 0.59 — see bench_fidelity)
-    cfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS)
+    # k=128: at 256²/tile32 the 64-tile bin budget must hold 2048 faces with
+    # the 4× headroom _binned_budget_ok requires — k=64 fails the gate and
+    # SILENTLY falls back to the O(px·faces) streaming rasterizer (measured
+    # this chip: 479 ms/iter streaming vs 28 ms/iter edge-binned; the 250-iter
+    # streaming program runs ~120 s and the tunnel watchdog kills the worker —
+    # that was the r4/r5 pose-section crash).
+    cfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS, k=128)
     cfg_f = _make_cfg((IMG, IMG), 5e-7, FINE_ITERS)
 
     fit_c, flops_c1 = _aot(lambda p: fit_poses(p, batch_c, cam_c, cfg_c).params,
@@ -640,7 +646,12 @@ def bench_fidelity(results: dict) -> None:
     meshes = _furniture_meshes(rng2, FID_B)
     fbatch, fcam, finit, fgt = _make_problem(rng2, FID_B, N_POINTS, IMG,
                                              meshes=meshes)
-    COARSE = 256
+    # coarse at 512², NOT 256²: with 16k-face furniture the edge-bin budget
+    # gate rejects every 256² tiling (top-K would drop faces) and the
+    # streaming fallback runs ~1 s/iter — a 250-iter program far past the
+    # tunnel watchdog. At 512² the Pallas kernel path engages (auto ≥512²)
+    # and handles the full face count.
+    COARSE = 512
     fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
     fcfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS, k=128)
     fcfg_f = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
