@@ -119,23 +119,45 @@ def _rel_pos_bias_factored(q_hw, k_hw, rel_h, rel_w, q):
 
 
 class SamAttention(nn.Module):
-    """ViT attention with optional decomposed rel-pos bias over a 2D token grid."""
+    """ViT attention with optional decomposed rel-pos bias over a 2D token grid.
+
+    With ``window`` set, attention runs per 14² window (SAM's layout) but the
+    qkv/proj projections run ONCE on the full token grid: one MXU-shaped
+    M=H·W matmul instead of 25 padded M=196 matmuls (measured: lifts SAM-H
+    encode MFU — the windowed blocks' dense projections dominate their
+    FLOPs). Exactness: SAM pads the block input with zeros BEFORE qkv, and
+    padding the grid first reproduces that (Dense(0) = bias either way)."""
 
     num_heads: int
     use_rel_pos: bool
     input_hw: Tuple[int, int]
     dtype: jnp.dtype
     flash_min_tokens: int = 1024
+    window: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        b, h, w, c = x.shape
+        b, h0, w0, c = x.shape
+        win = self.window
+        windowed = bool(win) and (h0 > win or w0 > win)
+        if windowed:
+            # zero-pad post-norm input to a window multiple (SAM semantics)
+            x = jnp.pad(x, ((0, 0), (0, (-h0) % win), (0, (-w0) % win),
+                            (0, 0)))
+        _, hg, wg, _ = x.shape
         hd = c // self.num_heads
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x.reshape(b, h * w, c))
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(
+            x.reshape(b, hg * wg, c))
+        if windowed:
+            qkv, meta = _window_partition(qkv.reshape(b, hg, wg, 3 * c), win)
+            nb, h, w = qkv.shape[0], win, win
+            qkv = qkv.reshape(nb, h * w, 3 * c)
+        else:
+            nb, h, w = b, hg, wg
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
-            return t.reshape(b, h * w, self.num_heads, hd).transpose(0, 2, 1, 3)
+            return t.reshape(nb, h * w, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = hd ** -0.5
@@ -165,8 +187,13 @@ class SamAttention(nn.Module):
                 o = jnp.einsum("bnqk,bnkd->bnqd", p.astype(v.dtype), v)
         else:
             o = flash_attention(q, k, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, h, w, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(o)
+        o = o.transpose(0, 2, 1, 3).reshape(nb, h, w, c)
+        if windowed:
+            o = _window_unpartition(o, win, meta)[:, :h0, :w0]
+        # proj on the cropped grid: pads are discarded before the matmul
+        o = nn.Dense(c, dtype=self.dtype, name="proj")(
+            o.reshape(b, h0 * w0, c))
+        return o.reshape(b, h0, w0, c)
 
 
 class SamBlock(nn.Module):
@@ -182,10 +209,9 @@ class SamBlock(nn.Module):
             h = SamAttention(c.num_heads, True, (x.shape[1], x.shape[2]),
                              c.dtype, c.flash_min_tokens, name="attn")(h)
         else:
-            hw, meta = _window_partition(h, c.window)
-            hw = SamAttention(c.num_heads, True, (c.window, c.window),
-                              c.dtype, c.flash_min_tokens, name="attn")(hw)
-            h = _window_unpartition(hw, c.window, meta)
+            h = SamAttention(c.num_heads, True, (c.window, c.window),
+                             c.dtype, c.flash_min_tokens, window=c.window,
+                             name="attn")(h)
         x = shortcut + h
         x = x + Mlp(x.shape[-1] * 4, dtype=c.dtype, name="mlp")(
             nn.LayerNorm(dtype=c.dtype, name="norm2")(x))
