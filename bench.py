@@ -653,12 +653,19 @@ def bench_fidelity(results: dict) -> None:
     # and handles the full face count.
     COARSE = 512
     fbatch_c, fcam_c = _coarse(fbatch, fcam, IMG, COARSE)
-    fcfg_c = _make_cfg((COARSE, COARSE), 1e-4, COARSE_ITERS, k=128)
+    # 50-iter segments: one 250-iter program at 512^2 with 16k-face
+    # furniture runs past the tunnel watchdog (~>60 s kills the worker —
+    # the r5 fidelity-section crash). The fine legs below already restart
+    # every FID_SEG iters, so segmenting coarse keeps the fast-vs-reference
+    # comparison apples-to-apples.
+    fcfg_c = _make_cfg((COARSE, COARSE), 1e-4, 50, k=128)
     fcfg_f = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
     fcfg_ref = _make_cfg((IMG, IMG), 5e-7, FID_SEG, k=128)
 
-    pf = fit_poses(finit, fbatch_c, fcam_c, fcfg_c).params
-    _sync(pf)
+    pf = finit
+    for _ in range(COARSE_ITERS // 50):
+        pf = fit_poses(pf, fbatch_c, fcam_c, fcfg_c).params
+        _sync(pf)
     for _ in range((ITERS - COARSE_ITERS) // FID_SEG):
         pf = fit_poses(pf, fbatch, fcam, fcfg_f).params
         _sync(pf)
@@ -905,10 +912,24 @@ def bench_vggt_merge(results: dict, peak: float) -> None:
     params = None
     depth_ref = None
     for ratio, frames in ((0.0, 2), (0.3, 2), (0.5, 2), (0.5, 8)):
+        tag = f"vggt_merge{ratio:g}_f{frames}"
         cfg = dataclasses.replace(VGGTConfig(), token_merge_ratio=ratio)
         model = VGGT(cfg)
         imgs = base_imgs2 if frames == 2 else jnp.tile(
             base_imgs2, (1, frames // 2, 1, 1, 1))
+        # resumable across section retries: each config is a minutes-long
+        # remote VGGT-1B compile (a crash risk on its own), and the child
+        # emits partial results on failure — skip work a previous attempt
+        # already landed (seeded via --seed-results)
+        need_chain = f"{tag}_ms_per_forward" not in results
+        need_depth = frames == 2 and (
+            (ratio == 0.0 and depth_ref is None and any(
+                f"vggt_merge{r:g}_f2_depth_rel_delta" not in results
+                for r in (0.3, 0.5)))
+            or (ratio != 0.0
+                and f"{tag}_depth_rel_delta" not in results))
+        if not (need_chain or need_depth):
+            continue
         if params is None:
             params = jax.jit(model.init)(jax.random.PRNGKey(0), base_imgs2)
         k = 4
@@ -919,11 +940,11 @@ def bench_vggt_merge(results: dict, peak: float) -> None:
                 return out["depth"].mean().astype(s.dtype)
             return jax.lax.fori_loop(0, k, body, s)
 
-        tag = f"vggt_merge{ratio:g}_f{frames}"
-        results.update(_bench_chain(tag, chain, (params, jnp.zeros(())),
-                                    k, peak, repeats=3, floor_s=floor))
+        if need_chain:
+            results.update(_bench_chain(tag, chain, (params, jnp.zeros(())),
+                                        k, peak, repeats=3, floor_s=floor))
         # depth consistency vs the unmerged 2-frame forward (same input)
-        if frames == 2:
+        if need_depth:
             d = np.asarray(jax.jit(model.apply)(params, base_imgs2)["depth"],
                            np.float32)
             if ratio == 0.0:
